@@ -1,0 +1,30 @@
+"""Pixel-wise cross entropy with ignore-index.
+
+Exact semantics of ``torch.nn.CrossEntropyLoss(ignore_index=...)`` with the
+default ``reduction='mean'`` (/root/reference/command_handlers/
+train_or_resume.py:116,435): the sum of per-pixel NLL over valid pixels
+divided by the number of valid pixels.  Log-softmax and the reduction run in
+f32 regardless of the (possibly bf16) logits dtype.
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def cross_entropy_loss(logits: jnp.ndarray, target: jnp.ndarray,
+                       ignore_index: int = 255) -> jnp.ndarray:
+    """Args:
+      logits: (B, H, W, NUM_CLASSES) raw scores, NHWC.
+      target: (B, H, W) integer class labels; ``ignore_index`` marks invalid.
+
+    Returns: scalar f32 mean loss over valid pixels (0 if none are valid).
+    """
+    logits = logits.astype(jnp.float32)
+    valid = (target != ignore_index)
+    # Clamp ignored labels to 0 so the gather is in-range; they are masked out.
+    safe_target = jnp.where(valid, target, 0).astype(jnp.int32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_target[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    count = valid.sum()
+    return jnp.where(count > 0, nll.sum() / jnp.maximum(count, 1), 0.0)

@@ -1,0 +1,26 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh so
+multi-chip sharding logic is exercised without TPU hardware (SURVEY.md §4).
+
+NB: this environment pre-imports jax with JAX_PLATFORMS=axon (TPU tunnel) via
+sitecustomize, so the env-var route is too late — the config update below is
+the reliable way to pin tests to CPU, and XLA_FLAGS must be appended before
+the first backend use.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(54321)

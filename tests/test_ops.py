@@ -1,0 +1,83 @@
+"""Parity tests of the NHWC op primitives against PyTorch (CPU) goldens."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import torch as t
+import torch.nn.functional as F
+
+from dualsuperreslearningforsemseg_tpu.ops import (
+    resize_bilinear_align_corners, resize_nearest, avg_pool_nhwc,
+    conv_transpose_2x2_stride2, pixel_shuffle,
+    make_input_output_visualization)
+
+
+def nchw(x_nhwc):
+    return np.transpose(x_nhwc, (0, 3, 1, 2))
+
+
+def nhwc(x_nchw):
+    return np.transpose(x_nchw, (0, 2, 3, 1))
+
+
+@pytest.mark.parametrize("in_hw,out_hw", [((8, 16), (16, 32)), ((32, 64), (128, 256)),
+                                          ((16, 32), (8, 16)), ((5, 7), (11, 3)),
+                                          ((1, 4), (3, 4)), ((4, 4), (4, 4))])
+def test_bilinear_align_corners_matches_torch(rng, in_hw, out_hw):
+    x = rng.standard_normal((2, *in_hw, 3), dtype=np.float32)
+    ours = np.asarray(resize_bilinear_align_corners(jnp.asarray(x), out_hw))
+    theirs = F.interpolate(t.from_numpy(nchw(x)), size=out_hw, mode='bilinear',
+                           align_corners=True).numpy()
+    np.testing.assert_allclose(ours, nhwc(theirs), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("in_hw,out_hw", [((8, 16), (16, 32)), ((512, 1024), (256, 512)),
+                                          ((7, 5), (13, 11))])
+def test_nearest_matches_torch(rng, in_hw, out_hw):
+    seg = rng.integers(0, 255, size=(2, *in_hw)).astype(np.float32)
+    ours = np.asarray(resize_nearest(jnp.asarray(seg), out_hw, spatial_axes=(-2, -1)))
+    theirs = F.interpolate(t.from_numpy(seg)[:, None], size=out_hw, mode='nearest').numpy()[:, 0]
+    np.testing.assert_array_equal(ours, theirs)
+
+
+def test_avg_pool_matches_torch(rng):
+    x = rng.standard_normal((2, 17, 33, 4), dtype=np.float32)  # non-divisible -> floor
+    ours = np.asarray(avg_pool_nhwc(jnp.asarray(x), 8))
+    theirs = t.nn.AvgPool2d(8)(t.from_numpy(nchw(x))).numpy()
+    np.testing.assert_allclose(ours, nhwc(theirs), rtol=1e-6, atol=1e-6)
+
+
+def test_conv_transpose_2x2_matches_torch(rng):
+    cin, cout = 19, 19
+    x = rng.standard_normal((2, 8, 12, cin), dtype=np.float32)
+    w = rng.standard_normal((cin, cout, 2, 2), dtype=np.float32)
+    b = rng.standard_normal((cout,), dtype=np.float32)
+
+    ours = np.asarray(conv_transpose_2x2_stride2(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b)))
+    ref = t.nn.ConvTranspose2d(cin, cout, 2, stride=2, padding=0, bias=True)
+    with t.no_grad():
+        ref.weight.copy_(t.from_numpy(w))
+        ref.bias.copy_(t.from_numpy(b))
+        theirs = ref(t.from_numpy(nchw(x))).numpy()
+    np.testing.assert_allclose(ours, nhwc(theirs), rtol=1e-4, atol=1e-4)
+
+
+def test_pixel_shuffle_matches_torch(rng):
+    r = 4
+    x = rng.standard_normal((2, 3, 5, 3 * r * r), dtype=np.float32)
+    ours = np.asarray(pixel_shuffle(jnp.asarray(x), r))
+    theirs = t.nn.PixelShuffle(r)(t.from_numpy(nchw(x))).numpy()
+    np.testing.assert_array_equal(ours, nhwc(theirs))
+
+
+def test_visualization_strip_shape_and_palette(rng):
+    from dualsuperreslearningforsemseg_tpu.datasets import cityscapes as cs
+    img = rng.integers(0, 255, size=(3, 16, 24)).astype(np.uint8)
+    seg = rng.integers(0, 19, size=(16, 24))
+    seg[0, 0] = 255  # ignore label -> black
+    strip = make_input_output_visualization(img, seg, cs.CLASS_RGB_COLOR)
+    assert strip.shape == (3, 16, 24 * 3)
+    np.testing.assert_array_equal(strip[:, :, :24], img)          # input pane
+    np.testing.assert_array_equal(strip[:, 0, 24], (0, 0, 0))     # ignore color
+    cls = seg[3, 3]
+    np.testing.assert_array_equal(strip[:, 3, 24 + 3], cs.CLASS_RGB_COLOR[cls])
