@@ -1,0 +1,207 @@
+"""Device-side fused augmentation.
+
+The reference augments on host CPU with PIL inside DataLoader workers
+(/root/reference/command_handlers/train_or_resume.py:128-137): rotate ±15°,
+random zoom-crop (scale 1..3.5), label mapping, h-flip, gaussian blur,
+grayscale, normalize, then a 3-way resize (JointScaledImage) — five separate
+resampling passes per sample on the host.
+
+TPU-native redesign: the host only decodes PNGs; one jitted batch kernel does
+the rest on device.  Rotation, zoom-crop, h-flip and the resize to the model
+sizes compose into a **single affine warp** (one bilinear resample for the
+image, one nearest resample for labels — instead of five), the 34->19 label
+translation is a vectorized 256-entry LUT gather (vs the reference's python
+loop, JointImageAndLabelTensor.py:13-14), and blur/grayscale/normalize fuse
+into the same XLA program.  Randomness comes from ``jax.random`` keys, so the
+pipeline is reproducible under the reference's fixed-seed contract.
+
+Deliberate deviations from reference behavior (documented per SURVEY.md §7):
+* the reference limits the zoom-crop offset to half the valid range
+  (JointRandomCrop.py:29-30 — a bug); we sample the full range;
+* sequential resampling (rotate at full res, crop-resize, final resize) is
+  collapsed into one warp — fewer interpolation artifacts, not bit-identical
+  augmentation (augmentation is random; only the *eval* path needs exact
+  numerics, and ``make_eval_transform_fn`` reproduces the reference's val
+  pipeline exactly: LUT -> normalize -> align-corners/nearest resizes).
+"""
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.resize import resize_bilinear_align_corners, resize_nearest
+
+
+@dataclasses.dataclass(frozen=True)
+class AugmentConfig:
+    input_hw: Tuple[int, int] = (256, 512)     # model input (img_lo)
+    output_hw: Tuple[int, int] = (512, 1024)   # model output (img_hi / seg)
+    degrees: float = 15.0
+    min_scale: float = 1.0
+    max_scale: float = 3.5
+    hflip_p: float = 0.5
+    blur_p: float = 0.5
+    blur_sigma: Tuple[float, float] = (0.1, 2.0)   # torchvision GaussianBlur default
+    grayscale_p: float = 0.1
+    mean: Tuple[float, float, float] = (0.28690, 0.32513, 0.28389)
+    std: Tuple[float, float, float] = (0.17614, 0.18099, 0.17772)
+    ignore_label: int = 255
+
+
+def _sample_affine(key, src_hw, out_hw, cfg: AugmentConfig):
+    """Per-sample 2x3 matrix mapping OUTPUT pixel coords -> SOURCE coords,
+    composing h-flip -> out->src scaling -> zoom-crop -> inverse rotation.
+    Center-based pixel convention throughout."""
+    h0, w0 = src_hw
+    oh, ow = out_hw
+    k_ang, k_scale, k_cx, k_cy, k_flip = jax.random.split(key, 5)
+
+    angle = jax.random.uniform(k_ang, (), minval=-cfg.degrees, maxval=cfg.degrees) * (np.pi / 180.0)
+    scale = jax.random.uniform(k_scale, (), minval=cfg.min_scale, maxval=cfg.max_scale)
+    crop_w = w0 / scale
+    crop_h = h0 / scale
+    crop_x = jax.random.uniform(k_cx, (), minval=0.0, maxval=1.0) * (w0 - crop_w)
+    crop_y = jax.random.uniform(k_cy, (), minval=0.0, maxval=1.0) * (h0 - crop_h)
+    flip = jax.random.bernoulli(k_flip, cfg.hflip_p)
+
+    # out pixel -> crop-frame source coords (maps [0,ow) onto [crop_x, crop_x+crop_w))
+    sx_scale = crop_w / ow
+    sy_scale = crop_h / oh
+    # x_c = crop_x + (x+0.5)*sx_scale - 0.5 ; optional flip first: x -> ow-1-x
+    a0 = jnp.where(flip, -sx_scale, sx_scale)
+    b0 = jnp.where(flip, crop_x + (ow - 0.5) * sx_scale - 0.5, crop_x + 0.5 * sx_scale - 0.5)
+    a1 = sy_scale
+    b1 = crop_y + 0.5 * sy_scale - 0.5
+
+    # inverse rotation about the full-image center
+    cx, cy = (w0 - 1) / 2.0, (h0 - 1) / 2.0
+    cos, sin = jnp.cos(angle), jnp.sin(angle)
+    # src = R @ (p - c) + c where p = (a*out + b)
+    # Row for src_x: cos*(x_c - cx) - sin*(y_c - cy) + cx
+    m00 = cos * a0
+    m01 = -sin * a1
+    m02 = cos * (b0 - cx) - sin * (b1 - cy) + cx
+    m10 = sin * a0
+    m11 = cos * a1
+    m12 = sin * (b0 - cx) + cos * (b1 - cy) + cy
+    return jnp.stack([jnp.stack([m00, m01, m02]), jnp.stack([m10, m11, m12])])
+
+
+def _warp_bilinear(img, matrix, out_hw, fill):
+    """Affine-resample one (H, W, C) image to out_hw with bilinear filtering;
+    out-of-bounds pixels get ``fill``."""
+    h0, w0 = img.shape[0], img.shape[1]
+    oh, ow = out_hw
+    ys = jax.lax.broadcasted_iota(jnp.float32, (oh, ow), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (oh, ow), 1)
+    sx = matrix[0, 0] * xs + matrix[0, 1] * ys + matrix[0, 2]
+    sy = matrix[1, 0] * xs + matrix[1, 1] * ys + matrix[1, 2]
+    valid = (sx >= 0) & (sx <= w0 - 1) & (sy >= 0) & (sy <= h0 - 1)
+
+    x0 = jnp.clip(jnp.floor(sx).astype(jnp.int32), 0, w0 - 1)
+    y0 = jnp.clip(jnp.floor(sy).astype(jnp.int32), 0, h0 - 1)
+    x1 = jnp.minimum(x0 + 1, w0 - 1)
+    y1 = jnp.minimum(y0 + 1, h0 - 1)
+    fx = (sx - x0)[..., None]
+    fy = (sy - y0)[..., None]
+
+    v00 = img[y0, x0]
+    v01 = img[y0, x1]
+    v10 = img[y1, x0]
+    v11 = img[y1, x1]
+    out = (v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy)
+           + v10 * (1 - fx) * fy + v11 * fx * fy)
+    return jnp.where(valid[..., None], out, fill)
+
+
+def _warp_nearest(seg, matrix, out_hw, fill):
+    h0, w0 = seg.shape[0], seg.shape[1]
+    oh, ow = out_hw
+    ys = jax.lax.broadcasted_iota(jnp.float32, (oh, ow), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (oh, ow), 1)
+    sx = matrix[0, 0] * xs + matrix[0, 1] * ys + matrix[0, 2]
+    sy = matrix[1, 0] * xs + matrix[1, 1] * ys + matrix[1, 2]
+    xr = jnp.round(sx).astype(jnp.int32)
+    yr = jnp.round(sy).astype(jnp.int32)
+    valid = (xr >= 0) & (xr < w0) & (yr >= 0) & (yr < h0)
+    out = seg[jnp.clip(yr, 0, h0 - 1), jnp.clip(xr, 0, w0 - 1)]
+    return jnp.where(valid, out, jnp.asarray(fill, seg.dtype))
+
+
+def _gaussian_blur3(img, sigma):
+    """Separable 3-tap gaussian (torchvision GaussianBlur(kernel_size=3)):
+    reflect padding, kernel exp(-x²/2σ²) normalized."""
+    x = jnp.array([-1.0, 0.0, 1.0])
+    k = jnp.exp(-(x ** 2) / (2.0 * sigma ** 2))
+    k = k / k.sum()
+    pad_h = jnp.pad(img, ((1, 1), (0, 0), (0, 0)), mode='reflect')
+    img = pad_h[:-2] * k[0] + pad_h[1:-1] * k[1] + pad_h[2:] * k[2]
+    pad_w = jnp.pad(img, ((0, 0), (1, 1), (0, 0)), mode='reflect')
+    return pad_w[:, :-2] * k[0] + pad_w[:, 1:-1] * k[1] + pad_w[:, 2:] * k[2]
+
+
+def make_train_augment_fn(cfg: AugmentConfig, label_lut: np.ndarray):
+    """Returns jitted fn: (images_u8 (B,H0,W0,3), segs_u8 (B,H0,W0), key) ->
+    ((img_lo, img_hi), (seg_hi, seg_lo)) matching the reference's
+    JointScaledImage output structure (JointScaledImage.py:27-32); seg targets
+    are int32 with 255 = ignore."""
+    lut = jnp.asarray(label_lut)
+    mean = jnp.asarray(cfg.mean, jnp.float32)
+    std = jnp.asarray(cfg.std, jnp.float32)
+
+    def one_sample(img_u8, seg_u8, key):
+        src_hw = img_u8.shape[:2]
+        k_aff, k_blur_p, k_blur_s, k_gray = jax.random.split(key, 4)
+        matrix = _sample_affine(k_aff, src_hw, cfg.output_hw, cfg)
+
+        img = img_u8.astype(jnp.float32) / 255.0
+        img_hi = _warp_bilinear(img, matrix, cfg.output_hw, fill=0.0)
+        seg_raw = _warp_nearest(seg_u8, matrix, cfg.output_hw, fill=255)
+        seg_hi = jnp.take(lut, seg_raw.astype(jnp.int32), axis=0).astype(jnp.int32)
+
+        do_blur = jax.random.bernoulli(k_blur_p, cfg.blur_p)
+        sigma = jax.random.uniform(k_blur_s, (), minval=cfg.blur_sigma[0], maxval=cfg.blur_sigma[1])
+        img_hi = jnp.where(do_blur, _gaussian_blur3(img_hi, sigma), img_hi)
+
+        do_gray = jax.random.bernoulli(k_gray, cfg.grayscale_p)
+        gray = (0.299 * img_hi[..., 0] + 0.587 * img_hi[..., 1] + 0.114 * img_hi[..., 2])[..., None]
+        img_hi = jnp.where(do_gray, jnp.broadcast_to(gray, img_hi.shape), img_hi)
+
+        img_hi = (img_hi - mean) / std
+        return img_hi, seg_hi
+
+    @jax.jit
+    def augment(images_u8, segs_u8, key):
+        keys = jax.random.split(key, images_u8.shape[0])
+        img_hi, seg_hi = jax.vmap(one_sample)(images_u8, segs_u8, keys)
+        img_lo = resize_bilinear_align_corners(img_hi, cfg.input_hw)
+        seg_lo = resize_nearest(seg_hi, cfg.input_hw, spatial_axes=(-2, -1))
+        return (img_lo, img_hi), (seg_hi, seg_lo)
+
+    return augment
+
+
+def make_eval_transform_fn(cfg: AugmentConfig, label_lut: np.ndarray):
+    """Exact reference val/test pipeline (train_or_resume.py:156-158):
+    LUT label mapping -> normalize -> JointScaledImage (align-corners bilinear
+    for images at input/output sizes, torch-nearest for the seg at output
+    size).  No randomness."""
+    lut = jnp.asarray(label_lut)
+    mean = jnp.asarray(cfg.mean, jnp.float32)
+    std = jnp.asarray(cfg.std, jnp.float32)
+
+    @jax.jit
+    def transform(images_u8, segs_u8):
+        img = images_u8.astype(jnp.float32) / 255.0
+        img = (img - mean) / std
+        seg = jnp.take(lut, segs_u8.astype(jnp.int32), axis=0).astype(jnp.int32)
+        img_lo = resize_bilinear_align_corners(img, cfg.input_hw)
+        img_hi = resize_bilinear_align_corners(img, cfg.output_hw)
+        seg_hi = resize_nearest(seg, cfg.output_hw, spatial_axes=(-2, -1))
+        return (img_lo, img_hi), (seg_hi, seg)
+
+    return transform

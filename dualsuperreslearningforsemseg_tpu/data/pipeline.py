@@ -1,0 +1,132 @@
+"""Host input pipeline: threaded decode + device prefetch.
+
+Replaces the reference's multiprocessing DataLoader + DistributedSampler
+(/root/reference/command_handlers/train_or_resume.py:141-153) with a
+TPU-appropriate design: PIL's C decoder releases the GIL, so a thread pool
+(no pickling constraints, no process fork cost) decodes PNG pairs into
+batched uint8 numpy arrays while the device trains; batches are transferred
+asynchronously and transformed on device by the jitted augment function.  A
+prefetch depth of 2 keeps the H2D copy and the train step overlapped.
+
+``ShardedSampler`` reproduces the reference's
+``DistributedSampler(shuffle=True, seed, drop_last=True)`` semantics: an
+epoch-seeded global permutation, padded/truncated to a multiple of the world
+size, then strided by rank — so multi-host runs see disjoint shards with
+identical ordering law.
+"""
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+
+class ShardedSampler:
+    def __init__(self, num_samples, world_size=1, rank=0, shuffle=True,
+                 seed=54321, drop_last=True):
+        self.num_samples = num_samples
+        self.world_size = world_size
+        self.rank = rank
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+
+    def indices_for_epoch(self, epoch: int):
+        if self.shuffle:
+            g = np.random.default_rng(self.seed + epoch)
+            order = g.permutation(self.num_samples)
+        else:
+            order = np.arange(self.num_samples)
+        if self.drop_last:
+            usable = (len(order) // self.world_size) * self.world_size
+            order = order[:usable]
+        else:
+            pad = (-len(order)) % self.world_size
+            if pad:
+                order = np.concatenate([order, order[:pad]])
+        return order[self.rank::self.world_size]
+
+
+class Loader:
+    """Iterable over batches of decoded samples.
+
+    Each iteration yields ``(images_u8 (B,H,W,3), segs_u8 (B,H,W))`` host
+    arrays; the caller applies the jitted device transform.  Images of
+    non-uniform size raise — Cityscapes is uniform 1024x2048.
+    """
+
+    def __init__(self, dataset, batch_size, shuffle=True, seed=54321,
+                 drop_last=True, num_workers=4, world_size=1, rank=0,
+                 prefetch=2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.sampler = ShardedSampler(len(dataset), world_size, rank, shuffle,
+                                      seed, drop_last)
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __len__(self):
+        n = len(self.sampler.indices_for_epoch(0))
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batches_indices(self):
+        idx = self.sampler.indices_for_epoch(self.epoch)
+        nb = len(idx) // self.batch_size if self.drop_last else \
+            (len(idx) + self.batch_size - 1) // self.batch_size
+        for b in range(nb):
+            yield idx[b * self.batch_size:(b + 1) * self.batch_size]
+
+    def __iter__(self):
+        out_q = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def decode_batch(batch_idx):
+            imgs, segs = [], []
+            for i in batch_idx:
+                img, seg = self.dataset[int(i)]
+                imgs.append(img)
+                segs.append(seg)
+            return np.stack(imgs), np.stack(segs)
+
+        def producer():
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                futures = []
+                for batch_idx in self._batches_indices():
+                    if stop.is_set():
+                        break
+                    futures.append(pool.submit(decode_batch, batch_idx))
+                    # Bound the number of in-flight decode jobs.
+                    while len(futures) >= self.num_workers + self.prefetch:
+                        out_q.put(futures.pop(0).result())
+                        if stop.is_set():
+                            return
+                for fut in futures:
+                    if stop.is_set():
+                        return
+                    out_q.put(fut.result())
+            out_q.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    break
+                yield item
+        finally:
+            stop.set()
+            # Drain so the producer can exit.
+            while thread.is_alive():
+                try:
+                    out_q.get_nowait()
+                except queue.Empty:
+                    thread.join(timeout=0.1)

@@ -1,0 +1,52 @@
+"""On-device metric accumulation.
+
+The reference computes mIoU/accuracy on the host with ``np.histogram`` per
+batch (/root/reference/metrices/mIoU.py:27-29), forcing a full-logits D2H
+copy every validation step.  Here the per-batch reductions run on device
+inside the jitted eval step and only three 19-vectors (+2 scalars) come back.
+
+Exactness: ``np.histogram(v, bins=19, range=(1, 19))`` over the shifted
+integer labels (values 0..19 after the reference's +1 shift and masking)
+assigns **exactly one integer value per bin** — bin k holds value k+1, value
+0 falls left of the range and the out-of-range values never occur — so the
+histogram is equivalent to a bincount over classes 1..19.  This equivalence
+is asserted in tests against literal np.histogram.
+"""
+
+import jax.numpy as jnp
+
+
+def batch_histograms(pred: jnp.ndarray, target: jnp.ndarray, num_classes: int,
+                     ignore_label: int = 255):
+    """Device-side equivalent of the reference mIoU.update() histograms.
+
+    Args:
+      pred: (B, H, W) int predicted classes in [0, num_classes).
+      target: (B, H, W) int labels with ignore_label marking invalid pixels.
+
+    Returns (area_pred, area_inter, area_target): (num_classes,) i32 each,
+    where index k corresponds to class k (the reference's bin k / value k+1).
+    """
+    valid = (target != ignore_label)
+    pred1 = pred.astype(jnp.int32) + 1
+    target1 = target.astype(jnp.int32) + 1
+    pred1 = pred1 * valid  # masked pixels -> 0 -> excluded from range (1..C)
+    inter = pred1 * (pred1 == target1)
+
+    def hist(v):
+        # one-hot over values 1..num_classes; value 0 and > num_classes drop out
+        clipped = jnp.clip(v, 0, num_classes)
+        counts = jnp.zeros((num_classes + 1,), jnp.int32).at[clipped.reshape(-1)].add(1)
+        return counts[1:]
+
+    # target1 for ignored pixels is 256 (=255+1): clip() would wrongly count
+    # it into the last bin, so mask targets out of range explicitly.
+    t_masked = jnp.where(target1 <= num_classes, target1, 0)
+    return hist(pred1), hist(inter), hist(t_masked)
+
+
+def batch_accuracy_counts(pred: jnp.ndarray, target: jnp.ndarray, ignore_label: int = 255):
+    """(correct_pixels, valid_pixels) for the reference Accuracy metric."""
+    valid = (target != ignore_label)
+    correct = ((pred == target) & valid).sum()
+    return correct, valid.sum()

@@ -1,0 +1,56 @@
+"""ASPP head (atrous spatial pyramid pooling), NHWC, flax linen.
+
+Re-designed from the reference architecture
+(/root/reference/models/modules/ASPP.py:4-44): six Conv+BN+ReLU branches —
+1x1, three 3x3 atrous convs at dilations 6/12/18 * rate, a 1x1 applied to the
+global-average-pooled feature (bilinearly resized back, align_corners=True),
+and a 1x1 fuse conv over the 5-way concat.  Branch module names mirror the
+torch Sequential indices (branches.{i}.{0,1}) so checkpoints map 1:1.
+
+On TPU the dilated 3x3 convs lower to MXU convolutions directly; the global
+branch's (1,1) conv is a matmul; XLA fuses BN+ReLU into each conv epilogue.
+"""
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .norm import TorchBatchNorm
+from .init import kaiming_normal_fan_out_conv
+from ..ops.resize import resize_bilinear_align_corners, global_avg_pool_nhwc
+
+
+class ASPP(nn.Module):
+    out_channels: int = 256
+    rate: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    def _branch(self, idx, kernel, padding, dilation):
+        conv = nn.Conv(self.out_channels, (kernel, kernel),
+                       kernel_dilation=(dilation, dilation),
+                       padding=((padding, padding), (padding, padding)),
+                       use_bias=False, param_dtype=jnp.float32,
+                       kernel_init=kaiming_normal_fan_out_conv,
+                       name=f'branches.{idx}.0')
+        bn = TorchBatchNorm(self.out_channels, dtype=self.dtype, name=f'branches.{idx}.1')
+        return conv, bn
+
+    @nn.compact
+    def __call__(self, x, train: bool, freeze_bn: bool = False):
+        use_ra = (not train) or freeze_bn
+        r = self.rate
+        branch_defs = [
+            (1, 0, 1), (3, 6 * r, 6 * r), (3, 12 * r, 12 * r), (3, 18 * r, 18 * r),
+        ]
+        outputs = []
+        for i, (k, p, d) in enumerate(branch_defs):
+            conv, bn = self._branch(i, k, p, d)
+            outputs.append(nn.relu(bn(conv(x), use_ra)))
+
+        conv4, bn4 = self._branch(4, 1, 0, 1)
+        g = global_avg_pool_nhwc(x)
+        g = nn.relu(bn4(conv4(g), use_ra))
+        g = resize_bilinear_align_corners(g, x.shape[1:3])
+        outputs.append(g)
+
+        conv5, bn5 = self._branch(5, 1, 0, 1)
+        return nn.relu(bn5(conv5(jnp.concatenate(outputs, axis=-1)), use_ra))

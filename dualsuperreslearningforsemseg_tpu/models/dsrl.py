@@ -1,0 +1,173 @@
+"""DSRL model: shared encoder + SSSR decoder (+ SISR branch + FA transformers).
+
+Re-designed from the reference network definition
+(/root/reference/models/DSRL.py:11-186) as NHWC flax linen modules:
+
+* feature extractor: ResNet101 (output stride 16) -> ASPP -> bilinear x4
+  (align_corners) -> concat with a 1x1+BN+ReLU shortcut of the low-level
+  features -> (B, H/4, W/4, 304);
+* SSSR decoder: two 3x3 Conv+BN+ReLU+Dropout(0.2) (304->256->256), a 1x1
+  classifier to NUM_CLASSES, then the upsample tail: bilinear x2 + Dropout +
+  ConvT(2,2)+BN+ReLU+Dropout + ConvT(2,2) for a total x8 upsample
+  (-> 2x the network input size);
+* stage >= 2 adds the SISR decoder: 3x3 conv to 3*8^2 channels + PixelShuffle(8);
+* stage == 3 adds the two feature transformers: 1x1 conv **stride 8** -> 1
+  channel + BN + ReLU feeding the FA loss.
+
+The ConvTranspose2d(k=2, s=2) layers are custom modules whose weight is kept
+in the torch IOHW layout and evaluated as one MXU matmul + block reshape
+(ops/conv.py).  Module names mirror the torch Sequential indices so the
+state-dict mapping is mechanical (e.g. ``SSSR_decoder.cat_conv.0.weight``,
+``SSSR_decoder.upsample16_pred.2.weight``).
+
+Stage gating is static (Python-level): each stage builds exactly the
+subgraph it trains, and inactive outputs are ``None`` — under jit this means
+stage-1 inference compiles zero SISR/FA code, unlike the reference's runtime
+zeros placeholders (/root/reference/models/DSRL.py:172-174).
+"""
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .resnet import ResNet101
+from .aspp import ASPP
+from .norm import TorchBatchNorm
+from .init import (kaiming_normal_fan_out_conv, kaiming_normal_fan_out_convtranspose,
+                   torch_conv_bias_init)
+from ..ops.resize import resize_bilinear_align_corners
+from ..ops.conv import conv_transpose_2x2_stride2, pixel_shuffle
+from ..consts import NUM_RGB_CHANNELS
+
+
+def _conv(features, kernel, stride=1, padding=0, use_bias=False, in_channels=None, name=None):
+    bias_init = nn.initializers.zeros
+    if use_bias and in_channels is not None:
+        bias_init = torch_conv_bias_init(in_channels * kernel * kernel)
+    return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
+                   padding=((padding, padding), (padding, padding)),
+                   use_bias=use_bias, param_dtype=jnp.float32,
+                   kernel_init=kaiming_normal_fan_out_conv,
+                   bias_init=bias_init, name=name)
+
+
+class ConvTranspose2x2(nn.Module):
+    """torch.nn.ConvTranspose2d(in, out, kernel_size=2, stride=2) with the
+    weight stored in torch IOHW layout, evaluated as a dense matmul."""
+    in_channels: int
+    out_channels: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param('weight', kaiming_normal_fan_out_convtranspose,
+                       (self.in_channels, self.out_channels, 2, 2), jnp.float32)
+        b = None
+        if self.use_bias:
+            # torch ConvTranspose default-bias fan_in reads dim 1: O*kh*kw.
+            b = self.param('bias', torch_conv_bias_init(self.out_channels * 4),
+                           (self.out_channels,), jnp.float32)
+        w = w.astype(x.dtype)
+        return conv_transpose_2x2_stride2(x, w, None if b is None else b.astype(x.dtype))
+
+
+class FeatureExtractor(nn.Module):
+    """backbone + aspp + shortcut -> concatenated decoder features."""
+    dtype: jnp.dtype = jnp.float32
+    backbone_layers: tuple = None  # None -> settings.BACKBONE_LAYERS
+
+    @nn.compact
+    def __call__(self, x, train: bool, freeze_bn: bool = False):
+        from .. import settings as _settings
+        layers = self.backbone_layers or tuple(_settings.BACKBONE_LAYERS)
+        use_ra = (not train) or freeze_bn
+        backbone_features, lowlevel_features = ResNet101(layers=layers, dtype=self.dtype, name='backbone')(x, train, freeze_bn)
+        aspp_features = ASPP(out_channels=256, rate=1, dtype=self.dtype, name='aspp')(backbone_features, train, freeze_bn)
+        h, w = aspp_features.shape[1:3]
+        aspp_features = resize_bilinear_align_corners(aspp_features, (4 * h, 4 * w))
+        shortcut = _conv(48, 1, name='shortcut_conv.0')(lowlevel_features)
+        shortcut = TorchBatchNorm(48, dtype=self.dtype, name='shortcut_conv.1')(shortcut, use_ra)
+        shortcut = nn.relu(shortcut)
+        return jnp.concatenate([aspp_features, shortcut], axis=-1)
+
+
+class SSSRDecoder(nn.Module):
+    num_classes: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool, freeze_bn: bool = False):
+        use_ra = (not train) or freeze_bn
+        det = not train
+        y = _conv(256, 3, padding=1, name='cat_conv.0')(x)
+        y = TorchBatchNorm(256, dtype=self.dtype, name='cat_conv.1')(y, use_ra)
+        y = nn.relu(y)
+        y = nn.Dropout(0.2, deterministic=det, name='cat_conv.3')(y)
+        y = _conv(256, 3, padding=1, name='cat_conv.4')(y)
+        y = TorchBatchNorm(256, dtype=self.dtype, name='cat_conv.5')(y, use_ra)
+        y = nn.relu(y)
+        y = nn.Dropout(0.2, deterministic=det, name='cat_conv.7')(y)
+
+        y = _conv(self.num_classes, 1, use_bias=True, in_channels=256, name='cls_conv')(y)
+
+        h, w = y.shape[1:3]
+        y = resize_bilinear_align_corners(y, (2 * h, 2 * w))
+        y = nn.Dropout(0.2, deterministic=det, name='upsample16_pred.1')(y)
+        y = ConvTranspose2x2(self.num_classes, self.num_classes, use_bias=False,
+                             name='upsample16_pred.2')(y)
+        y = TorchBatchNorm(self.num_classes, dtype=self.dtype, name='upsample16_pred.3')(y, use_ra)
+        y = nn.relu(y)
+        y = nn.Dropout(0.2, deterministic=det, name='upsample16_pred.5')(y)
+        y = ConvTranspose2x2(self.num_classes, self.num_classes, use_bias=True,
+                             name='upsample16_pred.6')(y)
+        return y
+
+
+class SISRDecoder(nn.Module):
+    upscale_factor: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        r = self.upscale_factor
+        y = _conv(NUM_RGB_CHANNELS * r * r, 3, padding=1, use_bias=True,
+                  in_channels=x.shape[-1], name='0')(x)
+        return pixel_shuffle(y, r)
+
+
+class FeatureTransformer(nn.Module):
+    """1x1 conv with stride 8 -> 1 channel + BN + ReLU (DSRL.py:87-95)."""
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool, freeze_bn: bool = False):
+        y = _conv(1, 1, stride=8, name='0')(x)
+        y = TorchBatchNorm(1, dtype=self.dtype, name='1')(y, (not train) or freeze_bn)
+        return nn.relu(y)
+
+
+class DSRL(nn.Module):
+    """Returns (SSSR, SISR, SSSR_transformed, SISR_transformed); entries for
+    branches not built at this stage are None (static stage gating)."""
+    stage: int
+    num_classes: int
+    dtype: jnp.dtype = jnp.float32
+    backbone_layers: tuple = None  # None -> settings.BACKBONE_LAYERS
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, freeze_bn: bool = False) -> Tuple[jnp.ndarray, Optional[jnp.ndarray],
+                                                        Optional[jnp.ndarray], Optional[jnp.ndarray]]:
+        assert self.stage in (1, 2, 3), \
+            "BUG CHECK: Unsupported stage {0} specified in DSRL.__init__().".format(self.stage)
+        x = x.astype(self.dtype)
+        cat_features = FeatureExtractor(dtype=self.dtype, backbone_layers=self.backbone_layers, name='feature_extractor')(x, train, freeze_bn)
+        sssr_output = SSSRDecoder(self.num_classes, dtype=self.dtype, name='SSSR_decoder')(cat_features, train, freeze_bn)
+
+        sisr_output = sssr_t = sisr_t = None
+        if self.stage > 1:
+            sisr_output = SISRDecoder(dtype=self.dtype, name='SISR_decoder')(cat_features)
+            if self.stage > 2:
+                sssr_t = FeatureTransformer(dtype=self.dtype, name='SSSR_feature_transformer')(sssr_output, train, freeze_bn)
+                sisr_t = FeatureTransformer(dtype=self.dtype, name='SISR_feature_transformer')(sisr_output, train, freeze_bn)
+        return sssr_output, sisr_output, sssr_t, sisr_t

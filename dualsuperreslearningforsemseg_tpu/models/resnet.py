@@ -1,0 +1,115 @@
+"""ResNet-101 backbone, NHWC, flax linen.
+
+Re-designed from the architecture the reference derives from torchvision
+(/root/reference/models/modules/backbone/ResNet101.py:6-104): Bottleneck
+blocks [3, 4, 23, 3], ``replace_stride_with_dilation=[False, False, True]``
+giving output stride 16, returning ``(layer4_out, layer1_out)`` for the
+decoder skip connection.  Module names intentionally match the torch module
+tree (conv1/bn1/layer{1..4}.{i}.conv{1..3}|bn{1..3}|downsample.{0,1}) so the
+state-dict layer is a pure mechanical mapping and ImageNet zoo weights load
+without per-layer tables.
+
+TPU-first details: NHWC layout throughout (XLA's preferred conv layout on
+TPU); all convs run in the compute dtype (bf16 under mixed precision) with
+f32 parameters; BN statistics in f32.  The per-block zero-init of the last BN
+scale (/root/reference/models/modules/backbone/ResNet101.py:52-53) is kept —
+it makes residual blocks identity at init which materially helps the
+250-epoch recipe.
+"""
+
+from typing import Sequence
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .norm import TorchBatchNorm
+from .init import kaiming_normal_fan_out_conv
+
+
+def _conv(features, kernel, stride=1, dilation=1, padding=0, name=None):
+    return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
+                   kernel_dilation=(dilation, dilation),
+                   padding=((padding, padding), (padding, padding)),
+                   use_bias=False, dtype=None, param_dtype=jnp.float32,
+                   kernel_init=kaiming_normal_fan_out_conv, name=name)
+
+
+class Bottleneck(nn.Module):
+    """torchvision-style bottleneck: 1x1 -> 3x3(stride, dilation) -> 1x1 (x4)."""
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    has_downsample: bool = False
+    zero_init_last_bn: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    expansion = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool, freeze_bn: bool = False):
+        width = self.planes
+        out_ch = self.planes * self.expansion
+        use_ra = (not train) or freeze_bn
+
+        y = _conv(width, 1, name='conv1')(x)
+        y = TorchBatchNorm(width, dtype=self.dtype, name='bn1')(y, use_ra)
+        y = nn.relu(y)
+        y = _conv(width, 3, stride=self.stride, dilation=self.dilation,
+                  padding=self.dilation, name='conv2')(y)
+        y = TorchBatchNorm(width, dtype=self.dtype, name='bn2')(y, use_ra)
+        y = nn.relu(y)
+        y = _conv(out_ch, 1, name='conv3')(y)
+        # Reference zero-inits the last BN scale of every block
+        # (ResNet101.py:52-53) so the residual path starts as identity.
+        bn3_init = nn.initializers.zeros if self.zero_init_last_bn else nn.initializers.ones
+        y = TorchBatchNorm(out_ch, dtype=self.dtype, weight_init=bn3_init, name='bn3')(y, use_ra)
+
+        if self.has_downsample:
+            identity = _conv(out_ch, 1, stride=self.stride, name='downsample.0')(x)
+            identity = TorchBatchNorm(out_ch, dtype=self.dtype, name='downsample.1')(identity, use_ra)
+        else:
+            identity = x
+        return nn.relu(y + identity)
+
+
+class ResNet101(nn.Module):
+    """Returns (layer4_features, layer1_features) like the reference backbone."""
+    layers: Sequence[int] = (3, 4, 23, 3)
+    replace_stride_with_dilation: Sequence[bool] = (False, False, True)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool, freeze_bn: bool = False):
+        use_ra = (not train) or freeze_bn
+        x = x.astype(self.dtype)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, param_dtype=jnp.float32,
+                    kernel_init=kaiming_normal_fan_out_conv, name='conv1')(x)
+        x = TorchBatchNorm(64, dtype=self.dtype, name='bn1')(x, use_ra)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        inplanes, dilation = 64, 1
+        low_level_features = None
+        for layer_idx, (planes, blocks) in enumerate(zip((64, 128, 256, 512), self.layers)):
+            stride = 1 if layer_idx == 0 else 2
+            dilate = False if layer_idx == 0 else self.replace_stride_with_dilation[layer_idx - 1]
+            previous_dilation = dilation
+            if dilate:
+                dilation *= stride
+                stride = 1
+            for block_idx in range(blocks):
+                first = block_idx == 0
+                x = Bottleneck(
+                    planes=planes,
+                    stride=stride if first else 1,
+                    dilation=previous_dilation if first else dilation,
+                    has_downsample=first and (stride != 1 or inplanes != planes * Bottleneck.expansion),
+                    dtype=self.dtype,
+                    name=f'layer{layer_idx + 1}.{block_idx}')(x, train, freeze_bn)
+                if first:
+                    inplanes = planes * Bottleneck.expansion
+            if layer_idx == 0:
+                low_level_features = x
+
+        return x, low_level_features

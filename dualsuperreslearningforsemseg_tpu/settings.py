@@ -63,10 +63,22 @@ PROFILING_FILE = 'profiling.json'
 PROFILING_DIR = os.path.join(OUTPUTS_DIR, 'profile')
 DATASETS_DIR = 'datasets'
 
-# Model parameters (/root/reference/settings.py:60-63)
+# Model parameters (/root/reference/settings.py:60-63).  The env override
+# exists for tests/smoke runs on tiny inputs (H and W must be multiples of 16).
 STAGES = [1, 2, 3]
-MODEL_INPUT_SIZE = (256, 512)
+import os as _os  # noqa: E402
+_size_env = _os.environ.get('DSRL_TPU_MODEL_INPUT_SIZE')
+if _size_env:
+    MODEL_INPUT_SIZE = tuple(int(x) for x in _size_env.lower().split('x'))
+else:
+    MODEL_INPUT_SIZE = (256, 512)
 MODEL_OUTPUT_SIZE = tuple(x * 2 for x in MODEL_INPUT_SIZE)
+
+# Backbone depth (ResNet-101 = 3,4,23,3).  Env override shrinks the backbone
+# for CI/smoke runs (structurally identical, far faster to compile on CPU).
+_layers_env = _os.environ.get('DSRL_TPU_BACKBONE_LAYERS')
+BACKBONE_LAYERS = tuple(int(x) for x in _layers_env.split(',')) if _layers_env \
+    else (3, 4, 23, 3)
 
 # Dataset registry (/root/reference/settings.py:65-74).  The 'class' entry is a
 # factory (root, split, synthetic=False) -> data.reader dataset object.

@@ -1,0 +1,350 @@
+"""DSRL-TPU command-line entry point.
+
+Public surface parity with /root/reference/main.py:112-208 — the same 11
+subcommands with the same options and validation behavior:
+train / config-train / resume-train / test / purge-weights-logs /
+print-model / purne-weights (sic, kept as an alias) / prune-weights /
+inspect-checkpoint / edit-checkpoint / benchmark / compile-model.
+
+TPU-native deviations (each accepted-and-mapped rather than removed):
+* --device: cpu/tpu ('gpu' is a warning alias for tpu);
+* --mixed-precision: apex opt-levels map onto bf16 compute (no loss scaling
+  on TPU), 'BF16' accepted directly;
+* --distributed MASTER_ADDR MASTER_PORT NODES DEVICES_PER_NODE BACKEND
+  INIT_METHOD NODE_ID: one process drives all local TPU chips, so no
+  per-device spawn (/root/reference/main.py:415-416); NODES/NODE_ID map to
+  jax.distributed process count/id, BACKEND is ignored with a warning;
+* --profile wraps the command in jax.profiler (TensorBoard/Perfetto trace
+  under outputs/profile) instead of torch.autograd.profiler.
+"""
+
+import argparse
+import functools
+import json
+import multiprocessing
+import os
+import os.path
+import shutil
+import sys
+
+import numpy as np
+
+# NB: importing jax is cheap here (the site hook pre-imports it); platform
+# selection happens at first backend use, so --device cpu can still switch.
+import jax
+
+from dualsuperreslearningforsemseg_tpu import settings
+from dualsuperreslearningforsemseg_tpu import commands as command_handlers
+from dualsuperreslearningforsemseg_tpu.utils import (
+    INFO, CAUTION, FATAL, OverridePrintWithTQDMWriteAndLog, hasExtension,
+    isInvalidFilename, INVALID_FILENAME_CHARS, check_version,
+    ValidateDatasetNameAndSplit, ValidateDatasetNameSplitAndIndex,
+    ValidateDistributedTrainingOptions)
+from dualsuperreslearningforsemseg_tpu.checkpoint import load_checkpoint_or_weights
+
+
+def _select_platform(args):
+    device = settings.resolve_device(getattr(args, 'device', settings.DEFAULT_DEVICE))
+    if getattr(args, 'device', None) == 'gpu':
+        print(CAUTION("--device gpu is interpreted as the TPU accelerator on this build."))
+    if device == 'cpu':
+        try:
+            jax.config.update('jax_platforms', 'cpu')
+        except Exception:
+            pass
+    return device
+
+
+def main(args):
+    # Load variables from checkpoint if resuming training (main.py:48-52).
+    if args['command'] == 'resume-train':
+        checkpoint_dict = load_checkpoint_or_weights(args['checkpoint'])
+        for variable in settings.VARIABLES_IN_CHECKPOINT:
+            args[variable] = checkpoint_dict[variable]
+
+    # Resolve dataset registry entry (main.py:58-70).
+    if 'dataset' in args and args['dataset']:
+        if isinstance(args['dataset'], str):
+            args['dataset'] = [args['dataset'], 'train', 0]
+        dataset_dict = dict(settings.DATASETS[args['dataset'][0]])
+        dataset_dict['name'] = args['dataset'][0]
+        if len(args['dataset']) > 1:
+            dataset_dict['split'] = args['dataset'][1]
+        if len(args['dataset']) > 2:
+            dataset_dict['starting_index'] = args['dataset'][2]
+        args['dataset'] = dataset_dict
+
+    if args['command'] in ['train', 'resume-train']:
+        train_logs_dir = os.path.join(args['experiment_id'],
+                                      settings.LOGS_DIR.format(stage=args['stage'], mode='train'))
+        os.makedirs(train_logs_dir, exist_ok=True)
+        with OverridePrintWithTQDMWriteAndLog(os.path.join(train_logs_dir, settings.STDOUT_FILE)) as stdout:
+            try:
+                args['is_resuming_training'] = (args['command'] == 'resume-train')
+                command_handlers.train_or_resume(**args)
+            except KeyboardInterrupt as ex:
+                stdout.write("Caught Ctrl+c to interrupt training!")
+                raise ex
+            except Exception as ex:
+                stdout.write("Exception caught: {}".format(str(ex)))
+                raise ex
+    else:
+        with OverridePrintWithTQDMWriteAndLog():
+            command = args['command'].replace('-', '_')
+            if command == 'purne_weights':    # reference's misspelled public name
+                command = 'prune_weights'
+            command_func_to_call = getattr(command_handlers, command, None)
+            assert command_func_to_call, \
+                "BUG CHECK: Command '{:s}' does not have any implementation under 'commands' package.".format(args['command'])
+            command_func_to_call(**args)
+
+
+def parse_cmdline_and_invoke_main(args):
+    assert check_version(sys.version_info, *settings.MIN_PYTHON_VERSION), \
+        FATAL("This program needs at least Python {0:d}.{1:d} interpreter.".format(*settings.MIN_PYTHON_VERSION))
+    assert check_version(jax.__version__, *settings.MIN_JAX_VERSION), \
+        FATAL("This program needs at least JAX {0:d}.{1:d}.".format(*settings.MIN_JAX_VERSION))
+    assert check_version(np.__version__, *settings.MIN_NUMPY_VERSION), \
+        FATAL("This program needs at least NumPy {0:d}.{1:d}.".format(*settings.MIN_NUMPY_VERSION))
+
+    parser = None
+    try:
+        parser = argparse.ArgumentParser(
+            description="TPU-native implementation of 'Dual Super Resolution Learning For Semantic Segmentation', CVPR 2020 paper.")
+        command_parser = parser.add_subparsers(title='commands', dest='command', required=True)
+
+        train_parser = command_parser.add_parser('train', help="Train model for different stages")
+        train_parser.add_argument('--device', default=settings.DEFAULT_DEVICE, type=str.casefold, choices=settings.SUPPORTED_DEVICES, help="Device to create model in, cpu/tpu")
+        train_parser.add_argument('--distributed', required=False, nargs=7, metavar=('MASTER_ADDR', 'MASTER_PORT', 'NODES', 'DEVICES_PER_NODE', 'BACKEND', 'INIT_METHOD', 'NODE_ID'), const=settings.SUPPORTED_DISTRIBUTED_BACKENDS, action=ValidateDistributedTrainingOptions, help="Enable distributed training")
+        train_parser.add_argument('--mixed-precision', default=settings.DEFAULT_AMP_OPTIMIZATION_OPTION, type=str.upper, choices=[x for x in settings.AMP_OPTIMIZATION_OPTIONS if x], help="Enable bf16 mixed precision (apex opt-level strings accepted for compatibility)")
+        train_parser.add_argument('--disable-cudnn-benchmark', action='store_true', help="Accepted for CLI compatibility; no-op on TPU")
+        train_parser.add_argument('--profile', action='store_true', help="Enable JAX profiling (TensorBoard/Perfetto trace)")
+        train_parser.add_argument('--num-workers', default=settings.DEFAULT_NUM_WORKERS, type=int, help="No. of workers for data loader")
+        train_parser.add_argument('--dataset', required=True, type=str.casefold, choices=settings.DATASETS.keys(), help="Dataset to operate on")
+        train_parser.add_argument('--val-interval', default=settings.DEFAULT_VAL_INTERVAL, type=int, help="Epoch intervals after which to perform validation")
+        train_parser.add_argument('--checkpoint-interval', default=settings.DEFAULT_CHECKPOINT_INTERVAL, type=int, help="Epoch intervals to create checkpoint after in training")
+        train_parser.add_argument('--checkpoint-history', default=settings.DEFAULT_CHECKPOINT_HISTORY, type=int, help="No. of latest autosaved checkpoints to keep while deleting old ones, 0 to disable autosave")
+        train_parser.add_argument('--init-weights', default=None, type=str, help="Load initial weights file for model")
+        train_parser.add_argument('--batch-size', default=settings.DEFAULT_BATCH_SIZE, type=int, help="Per-device batch size to use for training and testing")
+        train_parser.add_argument('--epochs', required=True, type=int, help="No. of epochs to train")
+        train_parser.add_argument('--learning-rate', type=float, default=settings.DEFAULT_LEARNING_RATE, help="Learning rate to begin training with")
+        train_parser.add_argument('--end-learning-rate', type=float, default=settings.DEFAULT_END_LEARNING_RATE, help="End learning rate for the last epoch")
+        train_parser.add_argument('--momentum', type=float, default=settings.DEFAULT_MOMENTUM, help="Momentum value for SGD")
+        train_parser.add_argument('--weights-decay', type=float, default=settings.DEFAULT_WEIGHTS_DECAY, help="Weights decay for SGD")
+        train_parser.add_argument('--poly-power', type=float, default=settings.DEFAULT_POLY_POWER, help="Power for poly learning rate strategy")
+        train_parser.add_argument('--stage', required=True, type=int, choices=settings.STAGES, help="1: Train SSSR only\n2: Train SSSR+SISR\n3: Train SSSR+SISR with feature affinity")
+        train_parser.add_argument('--w1', type=float, default=settings.DEFAULT_LOSS_WEIGHTS[0], help="Weight for MSE loss")
+        train_parser.add_argument('--w2', type=float, default=settings.DEFAULT_LOSS_WEIGHTS[1], help="Weight for FA loss")
+        train_parser.add_argument('--freeze-batch-norm', action='store_true', help="Keep all Batch Normalization layers disabled while training")
+        train_parser.add_argument('--experiment-id', type=str, default='', help="Experiment ID which is used to create a root directory for weights and logs directories")
+        train_parser.add_argument('--description', type=str, default=None, help="Description of experiment to be saved in 'params.txt' with given commandline parameters")
+        train_parser.add_argument('--early-stopping', action='store_true', help="Automatically stop training when training error is less than validation error")
+        train_parser.add_argument('--dry-run', action='store_true', help="Disable actual training and validation code used to debug boilerplate code around them")
+        train_parser.add_argument('--yes', action='store_true', help="Assume 'yes' for interactive confirmations (non-interactive runs)")
+
+        config_train_parser = command_parser.add_parser('config-train', help="JSON configuration file that provides commandline parameters for training")
+        config_train_parser.add_argument('--file', required=True, type=str, help="Path to JSON configuration file")
+
+        resume_train_parser = command_parser.add_parser('resume-train', help="Resume training model from checkpoint file")
+        resume_train_parser.add_argument('--checkpoint', required=True, type=str, help="Resume training with given checkpoint file")
+        resume_train_parser.add_argument('--distributed', required=False, nargs=7, metavar=('MASTER_ADDR', 'MASTER_PORT', 'NODES', 'DEVICES_PER_NODE', 'BACKEND', 'INIT_METHOD', 'NODE_ID'), const=settings.SUPPORTED_DISTRIBUTED_BACKENDS, action=ValidateDistributedTrainingOptions, help="Enable distributed training")
+        resume_train_parser.add_argument('--dataset', required=True, type=str.casefold, choices=settings.DATASETS.keys(), help="Dataset to operate on")
+
+        test_parser = command_parser.add_parser('test', help="Test trained weights with a single input image")
+        test_source = test_parser.add_mutually_exclusive_group(required=True)
+        test_source.add_argument('--image-file', type=str, help="Run evaluation on a image file using trained weights")
+        test_source.add_argument('--images-dir', type=str, help="Run evaluation on image files (JPG and PNG) in specified directory")
+        test_source.add_argument('--dataset', nargs=3, metavar=('DATASET', 'SPLIT', 'STARTING_INDEX'), const=settings.DATASETS, action=ValidateDatasetNameSplitAndIndex, help="Dataset, split and starting index to test from")
+        test_parser.add_argument('--output-dir', type=str, default=settings.OUTPUTS_DIR, help="Specify directory where testing results are saved")
+        test_parser.add_argument('--weights', required=True, type=str, help="Weights file to use")
+        test_parser.add_argument('--device', default=settings.DEFAULT_DEVICE, type=str.casefold, choices=settings.SUPPORTED_DEVICES, help="Device to create model in, cpu/tpu")
+        test_parser.add_argument('--disable-cudnn-benchmark', action='store_true', help="Accepted for CLI compatibility; no-op on TPU")
+        test_parser.add_argument('--profile', action='store_true', help="Enable JAX profiling")
+        test_parser.add_argument('--compiled-model', action='store_true', help="Using compiled model in '--weights' made using 'compile-model' command")
+
+        purge_weights_logs = command_parser.add_parser('purge-weights-logs', help="Delete all training weights and logs")
+        purge_weights_logs_type = purge_weights_logs.add_mutually_exclusive_group(required=True)
+        purge_weights_logs_type.add_argument('--stage', type=int, choices=settings.STAGES, help="Stage for which to delete weights and logs")
+        purge_weights_logs_type.add_argument('--all', action='store_true', help="Delete weights and logs for all stages")
+        purge_weights_logs.add_argument('--yes', action='store_true', help="Assume 'yes' for the confirmation prompt")
+
+        print_model_parser = command_parser.add_parser('print-model', help="Prints all the layers in the model with extra information for a stage")
+        print_model_parser.add_argument('--stage', required=True, type=int, choices=settings.STAGES, help="Stage to print layers of model for")
+        print_model_parser.add_argument('--dataset', type=str.casefold, choices=settings.DATASETS.keys(), default=list(settings.DATASETS.keys())[0], help="Dataset settings to use")
+
+        # Both the reference's misspelled public command name and the correct one.
+        for prune_cmd in ['purne-weights', 'prune-weights']:
+            prune_parser = command_parser.add_parser(prune_cmd, help="Removes all weights from a weights file which are not needed for inference")
+            prune_parser.add_argument('--src-weights', required=True, type=str, help="Checkpoint/Weights file to prune")
+            prune_parser.add_argument('--dest-weights', required=True, type=str, help="New weights file to write to")
+            prune_parser.add_argument('--dataset', type=str.casefold, choices=settings.DATASETS.keys(), default=list(settings.DATASETS.keys())[0], help="Dataset settings to use")
+            prune_parser.add_argument('--yes', action='store_true', help="Assume 'yes' for overwrite confirmation")
+
+        inspect_checkpoint_parser = command_parser.add_parser('inspect-checkpoint', help="View contents of a checkpoint file")
+        inspect_checkpoint_parser.add_argument('--checkpoint', required=True, type=str, help="Checkpoint file to view contents of")
+
+        edit_checkpoint_parser = command_parser.add_parser('edit-checkpoint', help="Edit contents of a checkpoint file")
+        edit_checkpoint_parser.add_argument('--checkpoint', required=True, type=str, help="Checkpoint file to edit contents of")
+        edit_checkpoint_parser.add_argument('--key', required=True, type=str, help="Specify key of the dictionary of checkpoint to edit")
+        edit_checkpoint_parser.add_argument('--value', required=True, type=str, help="Specify value of the key to edit")
+        edit_checkpoint_parser.add_argument('--typeof', required=True, type=str, help="Specify type of the specified value")
+
+        benchmark_parser = command_parser.add_parser('benchmark', help="Benchmarks model weights to produce metric results")
+        benchmark_parser.add_argument('--weights', required=True, type=str, help="Weights to use")
+        benchmark_parser.add_argument('--dataset', required=True, nargs=2, metavar=('DATASET', 'SPLIT'), action=ValidateDatasetNameAndSplit, const=settings.DATASETS, help="Dataset and split to operate on")
+        benchmark_parser.add_argument('--device', default=settings.DEFAULT_DEVICE, type=str.casefold, choices=settings.SUPPORTED_DEVICES, help="Device to create model in, cpu/tpu")
+        benchmark_parser.add_argument('--disable-cudnn-benchmark', action='store_true', help="Accepted for CLI compatibility; no-op on TPU")
+        benchmark_parser.add_argument('--num-workers', default=settings.DEFAULT_NUM_WORKERS, type=int, help="Number of workers for data loader")
+        benchmark_parser.add_argument('--batch-size', default=settings.DEFAULT_BATCH_SIZE, type=int, help="Batch size to use for benchmarking")
+
+        compile_model_parser = command_parser.add_parser('compile-model', help="AOT-compiles given model (StableHLO export) and outputs a compiled file")
+        compile_model_parser.add_argument('--weights', required=True, type=str, help="Weights to use")
+        compile_model_parser.add_argument('--output-file', required=True, type=str, help="Output file to compile the model to")
+        compile_model_parser.add_argument('--dataset', type=str.casefold, choices=settings.DATASETS.keys(), default=list(settings.DATASETS.keys())[0], help="Dataset settings to use")
+
+        args = parser.parse_args(args)
+
+        # ---- post-parse validation (parity: main.py:213-407) ----
+        if args.command == 'train':
+            if not args.num_workers >= 0:
+                raise argparse.ArgumentTypeError("'--num-workers' should be greater than or equal to 0!")
+            if not args.val_interval > 0:
+                raise argparse.ArgumentTypeError("'--val-interval' should be greater than 0!")
+            if not args.checkpoint_interval > 0:
+                raise argparse.ArgumentTypeError("'--checkpoint-interval' should be greater than 0!")
+            if not args.checkpoint_history >= 0:
+                raise argparse.ArgumentTypeError("'--checkpoint-history' should be greater than or equal (to disable) 0!")
+            if args.init_weights:
+                if not any(hasExtension(args.init_weights, x) for x in ['.checkpoint', '.weights']):
+                    raise argparse.ArgumentTypeError("'--init-weights' must be of either '.checkpoint' or '.weights' file type!")
+                if not os.path.isfile(args.init_weights):
+                    raise argparse.ArgumentTypeError("Couldn't find initial weights file '{0:s}'!".format(args.init_weights))
+                args.init_weights = os.path.abspath(args.init_weights)
+            if not args.batch_size > 0:
+                raise argparse.ArgumentTypeError("'--batch-size' should be greater than 0!")
+            if not args.epochs > 0:
+                raise argparse.ArgumentTypeError("'--epochs' should be specified and it must be greater than 0!")
+            if not args.learning_rate > 0.:
+                raise argparse.ArgumentTypeError("'--learning-rate' should be greater than 0!")
+            if not args.momentum > 0.:
+                raise argparse.ArgumentTypeError("'--momentum' should be greater than 0!")
+            if not args.weights_decay > 0.:
+                raise argparse.ArgumentTypeError("'--weights-decay' should be greater than 0!")
+            if not args.poly_power > 0.:
+                raise argparse.ArgumentTypeError("'--poly-power' should be greater than 0!")
+            if args.experiment_id:
+                if isInvalidFilename(args.experiment_id):
+                    raise argparse.ArgumentTypeError("'--experiment-id' must not contain invalid filename characters ({:s})!".format(', '.join(INVALID_FILENAME_CHARS)))
+                args.experiment_id = os.path.join(settings.EXPERIMENTS_ROOT_DIR, args.experiment_id)
+                if os.path.isdir(args.experiment_id):
+                    raise argparse.ArgumentTypeError("'--experiment-id' already exists and overwriting experiment directory is not supported!")
+            if os.path.isfile(os.path.join(args.experiment_id, settings.WEIGHTS_DIR.format(stage=args.stage), settings.FINAL_WEIGHTS_FILE)):
+                answer = 'y' if args.yes else input(CAUTION("Weights file for this stage already exists. Training will delete the current weights and logs. Continue? (y/n) ")).casefold()
+                if answer == 'y':
+                    shutil.rmtree(os.path.join(args.experiment_id, settings.LOGS_DIR.format(stage=args.stage, mode='')), ignore_errors=True)
+                    shutil.rmtree(os.path.join(args.experiment_id, settings.WEIGHTS_DIR.format(stage=args.stage)))
+                else:
+                    sys.exit(0)
+
+        elif args.command == 'config-train':
+            if not os.path.isfile(args.file):
+                raise argparse.ArgumentTypeError("File specified in '--file' parameter doesn't exists!")
+            try:
+                def correct_JSON_parse_hook(pairs):
+                    return {('--' + c): str(a) for c, a in pairs}
+
+                with open(args.file, 'r') as train_config_file:
+                    train_config_dict = json.load(train_config_file, object_pairs_hook=correct_JSON_parse_hook)
+                train_process_args = ['train', *functools.reduce(lambda k, v: k + v, train_config_dict.items())]
+                train_process = multiprocessing.Process(target=parse_cmdline_and_invoke_main,
+                                                        args=(train_process_args,))
+                train_process.start()
+                train_process.join()
+                sys.exit(train_process.exitcode)
+            except json.JSONDecodeError as ex:
+                raise argparse.ArgumentTypeError("Parsing configuration JSON file raised exception: {:}".format(str(ex)))
+            except KeyboardInterrupt:
+                sys.exit(0)
+
+        elif args.command == 'resume-train':
+            if not hasExtension(args.checkpoint, '.checkpoint'):
+                raise argparse.ArgumentTypeError("Please specify a '.checkpoint' file as the whole model and optimizer states needs to be loaded!")
+            if not os.path.isfile(args.checkpoint):
+                raise argparse.ArgumentTypeError("Couldn't find checkpoint file '{0:s}'!".format(args.checkpoint))
+
+        elif args.command == 'test':
+            if args.image_file and not os.path.isfile(args.image_file):
+                raise argparse.ArgumentTypeError("File specified in '--image-file' parameter doesn't exists!")
+            if args.images_dir and not os.path.isdir(args.images_dir):
+                raise argparse.ArgumentTypeError("Directory specified in '--images-dir' parameter doesn't exists!")
+            if not args.compiled_model and not any(hasExtension(args.weights, x) for x in ['.checkpoint', '.weights']):
+                raise argparse.ArgumentTypeError("'--weights' must be of either '.checkpoint' or '.weights' file type!")
+            if not os.path.isfile(args.weights):
+                raise argparse.ArgumentTypeError("Couldn't find weights file '{:s}'!".format(args.weights))
+
+        elif args.command == 'purge-weights-logs':
+            answer = 'y' if args.yes else input('This will delete {:s} logs and weights. Continue? (y/n) '.format('all' if args.all else 'stage {:d}'.format(args.stage))).casefold()
+            if answer == 'y':
+                purge_start_stage = settings.STAGES[0] if args.all else args.stage
+                purge_stop_stage = settings.STAGES[-1] if args.all else args.stage
+                for stage in range(purge_start_stage, purge_stop_stage + 1):
+                    logs_dir = settings.LOGS_DIR.format(stage=stage, mode='')
+                    weights_dir = settings.WEIGHTS_DIR.format(stage=stage)
+                    for dir_ in [logs_dir, weights_dir]:
+                        if os.path.isdir(dir_):
+                            shutil.rmtree(dir_)
+            sys.exit(0)
+
+        elif args.command in ('purne-weights', 'prune-weights'):
+            if not any(hasExtension(args.src_weights, x) for x in ['.checkpoint', '.weights']):
+                raise argparse.ArgumentTypeError("'--src-weights' must be of either '.checkpoint' or '.weights' file type!")
+            if not os.path.isfile(args.src_weights):
+                raise argparse.ArgumentTypeError("File specified in '--src-weights' parameter doesn't exists!")
+            if os.path.isfile(args.dest_weights):
+                answer = 'y' if args.yes else input(CAUTION("Destination weights file specified already exists. This will overwrite the file. Continue (y/n)? ")).casefold()
+                if answer != 'y':
+                    sys.exit(0)
+
+        elif args.command in ('inspect-checkpoint', 'edit-checkpoint'):
+            if not hasExtension(args.checkpoint, '.checkpoint'):
+                raise argparse.ArgumentTypeError("Please specify a '.checkpoint' file!")
+            if not os.path.isfile(args.checkpoint):
+                raise argparse.ArgumentTypeError("Couldn't find checkpoint file '{0:s}'!".format(args.checkpoint))
+
+        elif args.command == 'benchmark':
+            if not any(hasExtension(args.weights, x) for x in ['.checkpoint', '.weights']):
+                raise argparse.ArgumentTypeError("'--weights' must be of either '.checkpoint' or '.weights' file type!")
+            if not os.path.isfile(args.weights):
+                raise argparse.ArgumentTypeError("Couldn't find the specified weights file '{:s}'!".format(args.weights))
+            if not args.num_workers >= 0:
+                raise argparse.ArgumentTypeError("'--num-workers' should be greater than or equal to 0!")
+            if not args.batch_size > 0:
+                raise argparse.ArgumentTypeError("'--batch-size' should be greater than 0!")
+
+        elif args.command == 'compile-model':
+            if not any(hasExtension(args.weights, x) for x in ['.checkpoint', '.weights']):
+                raise argparse.ArgumentTypeError("'--weights' must be of either '.checkpoint' or '.weights' file type!")
+            if not os.path.isfile(args.weights):
+                raise argparse.ArgumentTypeError("Couldn't find weights file '{:s}'!".format(args.weights))
+
+        _select_platform(args)
+
+        if getattr(args, 'profile', False):
+            os.makedirs(settings.PROFILING_DIR, exist_ok=True)
+            with jax.profiler.trace(settings.PROFILING_DIR):
+                main(args.__dict__)
+            print(INFO("Profiling output has been saved to '{:s}'.".format(settings.PROFILING_DIR)))
+        else:
+            main(args.__dict__)
+
+    except KeyboardInterrupt:
+        print(CAUTION("Caught 'Ctrl+c' SIGINT signal. Aborted operation."))
+
+    except argparse.ArgumentTypeError as ex:
+        print(FATAL("{:s}\n".format(str(ex))))
+        if parser:
+            parser.print_usage()
+
+
+if __name__ == '__main__':
+    parse_cmdline_and_invoke_main(sys.argv[1:])

@@ -9,6 +9,12 @@ the first backend use.
 
 import os
 
+# Tiny model input + shallow backbone for CLI end-to-end tests (must precede
+# package import).  Tests needing the full ResNet-101 depth pass
+# backbone_layers=(3, 4, 23, 3) explicitly.
+os.environ.setdefault("DSRL_TPU_MODEL_INPUT_SIZE", "64x128")
+os.environ.setdefault("DSRL_TPU_BACKBONE_LAYERS", "1,1,2,1")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

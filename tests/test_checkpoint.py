@@ -1,0 +1,78 @@
+"""Checkpoint I/O tests: our container roundtrip and the torch .pth reader."""
+
+import numpy as np
+import pytest
+import torch as t
+
+from dualsuperreslearningforsemseg_tpu.checkpoint import (
+    load_checkpoint_or_weights, save_checkpoint, save_weights, load_torch_pth)
+
+
+def test_save_load_checkpoint_roundtrip(tmp_path, rng):
+    state = {
+        'epoch': 7,
+        'learning_rate': 0.01,
+        'description': None,
+        'freeze_batch_norm': False,
+        'best_validation_dict': {'epoch': 3, 'best_miou_percent': 41.5, 'loss': 0.3},
+        'model_state_dict': {
+            'conv.weight': rng.standard_normal((4, 3, 3, 3), dtype=np.float32),
+            'bn.num_batches_tracked': np.int64(12),
+        },
+        'optimizer_state_dict': {'momentum_buffers': {'conv.weight': rng.standard_normal((4, 3, 3, 3), dtype=np.float32)}},
+    }
+    save_checkpoint(str(tmp_path), 'epoch7.checkpoint', **state)
+    loaded = load_checkpoint_or_weights(str(tmp_path / 'epoch7.checkpoint'))
+
+    assert loaded['epoch'] == 7
+    assert loaded['description'] is None
+    assert loaded['best_validation_dict']['best_miou_percent'] == 41.5
+    np.testing.assert_array_equal(loaded['model_state_dict']['conv.weight'],
+                                  state['model_state_dict']['conv.weight'])
+    np.testing.assert_array_equal(
+        loaded['optimizer_state_dict']['momentum_buffers']['conv.weight'],
+        state['optimizer_state_dict']['momentum_buffers']['conv.weight'])
+
+
+def test_save_weights_layout(tmp_path, rng):
+    sd = {'w': rng.standard_normal((2, 2), dtype=np.float32)}
+    save_weights(str(tmp_path), 'final.weights', sd, None)
+    loaded = load_checkpoint_or_weights(str(tmp_path / 'final.weights'))
+    assert set(loaded.keys()) == {'model_state_dict', 'mixed_precision', 'amp_state_dict'}
+    assert loaded['mixed_precision'] is None
+    np.testing.assert_array_equal(loaded['model_state_dict']['w'], sd['w'])
+
+
+def test_torch_pth_reader_zip_format(tmp_path, rng):
+    """Read a torch-zip .pth written by real torch without using torch to read."""
+    sd = {
+        'conv1.weight': t.randn(8, 3, 7, 7),
+        'bn1.running_mean': t.randn(8),
+        'bn1.num_batches_tracked': t.tensor(42, dtype=t.int64),
+        'fc.weight': t.randn(10, 8),
+    }
+    path = tmp_path / 'zoo.pth'
+    t.save(sd, str(path))  # new zipfile serialization
+
+    loaded = load_torch_pth(str(path))
+    assert set(loaded.keys()) == set(sd.keys())
+    for k in sd:
+        np.testing.assert_allclose(loaded[k], sd[k].numpy(), rtol=0, atol=0)
+    assert loaded['conv1.weight'].dtype == np.float32
+    assert loaded['bn1.num_batches_tracked'].dtype == np.int64
+
+
+def test_load_checkpoint_dispatches_to_torch_format(tmp_path):
+    sd = {'x': t.ones(3)}
+    path = tmp_path / 'model.pth'
+    t.save(sd, str(path))
+    loaded = load_checkpoint_or_weights(str(path))
+    np.testing.assert_array_equal(loaded['x'], np.ones(3, np.float32))
+
+
+def test_noncontiguous_tensor_in_pth(tmp_path):
+    sd = {'w': t.randn(6, 4).t()}  # transposed view -> non-trivial strides
+    path = tmp_path / 'nc.pth'
+    t.save(sd, str(path))
+    loaded = load_torch_pth(str(path))
+    np.testing.assert_allclose(loaded['w'], sd['w'].numpy())

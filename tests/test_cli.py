@@ -1,0 +1,172 @@
+"""End-to-end CLI tests on a synthetic Cityscapes fixture (tiny model input
+via DSRL_TPU_MODEL_INPUT_SIZE, set in conftest before package import).
+
+Covers the full command surface: train -> resume-train -> benchmark -> test
+-> prune-weights -> inspect/edit-checkpoint -> print-model -> compile-model
+-> test --compiled-model -> purge-weights-logs -> config-train validation.
+"""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import main as cli
+from dualsuperreslearningforsemseg_tpu import settings
+from dualsuperreslearningforsemseg_tpu.data import make_synthetic_cityscapes_tree
+
+
+@pytest.fixture(scope='module')
+def workdir(tmp_path_factory):
+    """A self-contained working directory with synthetic Cityscapes data."""
+    wd = tmp_path_factory.mktemp('cli_e2e')
+    data_root = os.path.join(str(wd), 'datasets', 'Cityscapes', 'data')
+    make_synthetic_cityscapes_tree(data_root, split='train', num_images=16, size_hw=(64, 128))
+    make_synthetic_cityscapes_tree(data_root, split='val', num_images=16, size_hw=(64, 128), seed=7)
+    old = os.getcwd()
+    os.chdir(str(wd))
+    yield str(wd)
+    os.chdir(old)
+
+
+def run_cli(*args):
+    cli.parse_cmdline_and_invoke_main(list(args))
+
+
+def test_train_stage1_end_to_end(workdir):
+    assert settings.MODEL_INPUT_SIZE == (64, 128), \
+        "conftest must set DSRL_TPU_MODEL_INPUT_SIZE=64x128 before imports"
+    run_cli('train', '--device', 'cpu', '--dataset', 'cityscapes', '--stage', '1',
+            '--epochs', '2', '--batch-size', '1', '--val-interval', '1',
+            '--checkpoint-interval', '1', '--checkpoint-history', '2',
+            '--num-workers', '2', '--yes')
+    assert os.path.isfile(os.path.join('weights', 'stage1', 'final.weights'))
+    ckpts = glob.glob(os.path.join('weights', 'stage1', 'checkpoints', '*.checkpoint'))
+    assert len(ckpts) >= 1
+    assert os.path.isfile(os.path.join('logs', 'stage1', 'train', 'params.txt'))
+    assert os.path.isfile(os.path.join('logs', 'stage1', 'train', 'stdout.txt'))
+    # TensorBoard event files written
+    assert glob.glob(os.path.join('logs', 'stage1', 'train', 'events.out.tfevents.*'))
+
+
+def test_resume_train(workdir):
+    ckpt = os.path.join('weights', 'stage1', 'checkpoints', 'epoch1.checkpoint')
+    assert os.path.isfile(ckpt)
+    run_cli('resume-train', '--checkpoint', ckpt, '--dataset', 'cityscapes')
+    assert os.path.isfile(os.path.join('weights', 'stage1', 'final.weights'))
+
+
+def test_train_stage2_cascade(workdir):
+    run_cli('train', '--device', 'cpu', '--dataset', 'cityscapes', '--stage', '2',
+            '--epochs', '1', '--batch-size', '1', '--val-interval', '1',
+            '--checkpoint-interval', '1', '--num-workers', '2', '--yes')
+    assert os.path.isfile(os.path.join('weights', 'stage2', 'final.weights'))
+
+
+def test_train_stage3_cascade(workdir):
+    run_cli('train', '--device', 'cpu', '--dataset', 'cityscapes', '--stage', '3',
+            '--epochs', '1', '--batch-size', '1', '--val-interval', '1',
+            '--checkpoint-interval', '1', '--num-workers', '2', '--yes')
+    assert os.path.isfile(os.path.join('weights', 'stage3', 'final.weights'))
+
+
+def test_benchmark(workdir):
+    run_cli('benchmark', '--weights', os.path.join('weights', 'stage1', 'final.weights'),
+            '--dataset', 'cityscapes', 'val', '--device', 'cpu', '--batch-size', '4',
+            '--num-workers', '2')
+    assert os.path.isfile(os.path.join('outputs', 'benchmark.txt'))
+    content = open(os.path.join('outputs', 'benchmark.txt')).read()
+    assert 'mIoU %' in content and 'Cross Entropy' in content
+
+
+def test_single_image(workdir, rng):
+    img = rng.integers(0, 255, size=(64, 128, 3)).astype(np.uint8)
+    Image.fromarray(img).save('sample.png')
+    run_cli('test', '--image-file', 'sample.png', '--device', 'cpu',
+            '--weights', os.path.join('weights', 'stage1', 'final.weights'))
+    assert os.path.isfile(os.path.join('outputs', 'sample.png'))
+    out = np.asarray(Image.open(os.path.join('outputs', 'sample.png')))
+    oh, ow = settings.MODEL_OUTPUT_SIZE
+    assert out.shape == (oh, 3 * ow, 3)  # [input | seg | overlay]
+
+
+def test_prune_weights_both_spellings(workdir):
+    src = os.path.join('weights', 'stage3', 'final.weights')
+    run_cli('prune-weights', '--src-weights', src, '--dest-weights', 'pruned.weights', '--yes')
+    assert os.path.isfile('pruned.weights')
+    from dualsuperreslearningforsemseg_tpu.checkpoint import load_checkpoint_or_weights
+    pruned = load_checkpoint_or_weights('pruned.weights')
+    keys = pruned['model_state_dict'].keys()
+    assert not any('SISR_decoder' in k for k in keys)
+    assert not any('feature_transformer' in k for k in keys)
+    run_cli('purne-weights', '--src-weights', src, '--dest-weights', 'pruned2.weights', '--yes')
+    assert os.path.isfile('pruned2.weights')
+
+
+def test_inspect_and_edit_checkpoint(workdir, capsys):
+    ckpt = sorted(glob.glob(os.path.join('weights', 'stage1', 'checkpoints', 'epoch*.checkpoint')))[0]
+    run_cli('inspect-checkpoint', '--checkpoint', ckpt)
+    out = capsys.readouterr().out
+    assert 'epochs' in out and 'learning_rate' in out
+
+    run_cli('edit-checkpoint', '--checkpoint', ckpt, '--key', 'description',
+            '--value', 'edited-by-test', '--typeof', 'str')
+    from dualsuperreslearningforsemseg_tpu.checkpoint import load_checkpoint_or_weights
+    assert load_checkpoint_or_weights(ckpt)['description'] == 'edited-by-test'
+
+
+def test_print_model(workdir, capsys):
+    run_cli('print-model', '--stage', '1')
+    out = capsys.readouterr().out
+    assert 'Total training parameters' in out
+
+
+def test_compile_model_and_compiled_inference(workdir, rng):
+    run_cli('compile-model', '--weights', os.path.join('weights', 'stage1', 'final.weights'),
+            '--output-file', 'model.stablehlo')
+    assert os.path.getsize('model.stablehlo') > 1_000_000  # weights baked in
+
+    img = rng.integers(0, 255, size=(64, 128, 3)).astype(np.uint8)
+    Image.fromarray(img).save('sample2.png')
+    run_cli('test', '--image-file', 'sample2.png', '--device', 'cpu',
+            '--weights', 'model.stablehlo', '--compiled-model')
+    assert os.path.isfile(os.path.join('outputs', 'sample2.png'))
+
+
+def test_dry_run(workdir):
+    run_cli('train', '--device', 'cpu', '--dataset', 'cityscapes', '--stage', '1',
+            '--epochs', '1', '--batch-size', '1', '--val-interval', '1',
+            '--checkpoint-history', '0', '--num-workers', '1', '--dry-run',
+            '--experiment-id', 'dryrun_exp', '--yes')
+    assert os.path.isdir(os.path.join('experiments', 'dryrun_exp'))
+
+
+def test_purge_weights_logs(workdir):
+    assert os.path.isdir(os.path.join('weights', 'stage2'))
+    with pytest.raises(SystemExit):
+        run_cli('purge-weights-logs', '--stage', '2', '--yes')
+    assert not os.path.isdir(os.path.join('weights', 'stage2'))
+    assert os.path.isdir(os.path.join('weights', 'stage1'))  # untouched
+
+
+def test_config_train_json_bridge(workdir, capsys):
+    # Validation error path: config file must exist (ArgumentTypeError is
+    # caught at top level and reported as FATAL, parity with main.py:424-426).
+    run_cli('config-train', '--file', 'nonexistent.json')
+    assert "doesn't exists" in capsys.readouterr().out
+
+
+def test_cli_validation_errors(workdir, capsys):
+    run_cli('train', '--dataset', 'cityscapes', '--stage', '1', '--epochs', '0',
+            '--yes', '--device', 'cpu')
+    assert 'FATAL' in capsys.readouterr().out
+
+    run_cli('benchmark', '--weights', 'missing.weights', '--dataset', 'cityscapes', 'val')
+    assert "Couldn't find" in capsys.readouterr().out
+
+    run_cli('test', '--image-file', 'no_such.png',
+            '--weights', os.path.join('weights', 'stage1', 'final.weights'))
+    assert "doesn't exists" in capsys.readouterr().out

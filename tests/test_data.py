@@ -1,0 +1,131 @@
+"""Data layer tests: reader, sampler parity, device augmentation, eval
+transform exactness."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch as t
+import torch.nn.functional as F
+
+from dualsuperreslearningforsemseg_tpu.data import (
+    CityscapesDataset, make_synthetic_cityscapes_tree, SyntheticDataset,
+    make_train_augment_fn, make_eval_transform_fn, AugmentConfig, Loader,
+    ShardedSampler)
+from dualsuperreslearningforsemseg_tpu.datasets import cityscapes as cs
+
+
+def small_cfg():
+    return AugmentConfig(input_hw=(32, 64), output_hw=(64, 128))
+
+
+def test_reader_finds_pairs(tmp_path):
+    make_synthetic_cityscapes_tree(str(tmp_path), split='train', num_images=3)
+    ds = CityscapesDataset(str(tmp_path), split='train')
+    assert len(ds) == 3
+    img, seg = ds[0]
+    assert img.shape == (64, 128, 3) and img.dtype == np.uint8
+    assert seg.shape == (64, 128) and seg.dtype == np.uint8
+
+
+def test_sampler_matches_torch_distributed_sampler():
+    """Shards must be disjoint and cover the drop_last-truncated set."""
+    s0 = ShardedSampler(103, world_size=4, rank=0, shuffle=True, seed=7)
+    shards = [ShardedSampler(103, world_size=4, rank=r, shuffle=True, seed=7)
+              .indices_for_epoch(5) for r in range(4)]
+    allidx = np.concatenate(shards)
+    assert len(allidx) == 100  # 103 -> 100 with drop_last over 4 ranks
+    assert len(set(allidx.tolist())) == 100
+    # deterministic per epoch+seed
+    again = ShardedSampler(103, 4, 0, True, 7).indices_for_epoch(5)
+    np.testing.assert_array_equal(shards[0], again)
+    assert not np.array_equal(s0.indices_for_epoch(5), s0.indices_for_epoch(6))
+
+
+def test_train_augment_shapes_and_labels(rng):
+    cfg = small_cfg()
+    aug = make_train_augment_fn(cfg, cs.LABEL_MAPPING_LUT)
+    imgs = rng.integers(0, 256, size=(2, 64, 128, 3), dtype=np.uint8)
+    segs = rng.integers(0, 34, size=(2, 64, 128), dtype=np.uint8)
+    (img_lo, img_hi), (seg_hi, seg_lo) = aug(jnp.asarray(imgs), jnp.asarray(segs),
+                                             jax.random.PRNGKey(0))
+    assert img_lo.shape == (2, 32, 64, 3)
+    assert img_hi.shape == (2, 64, 128, 3)
+    assert seg_hi.shape == (2, 64, 128)
+    valid = np.unique(np.asarray(seg_hi))
+    assert set(valid.tolist()) <= set(range(19)) | {255}
+    assert np.isfinite(np.asarray(img_lo)).all()
+
+
+def test_train_augment_is_seeded(rng):
+    cfg = small_cfg()
+    aug = make_train_augment_fn(cfg, cs.LABEL_MAPPING_LUT)
+    imgs = jnp.asarray(rng.integers(0, 256, size=(1, 64, 128, 3), dtype=np.uint8))
+    segs = jnp.asarray(rng.integers(0, 34, size=(1, 64, 128), dtype=np.uint8))
+    a = aug(imgs, segs, jax.random.PRNGKey(3))
+    b = aug(imgs, segs, jax.random.PRNGKey(3))
+    c = aug(imgs, segs, jax.random.PRNGKey(4))
+    np.testing.assert_array_equal(np.asarray(a[0][0]), np.asarray(b[0][0]))
+    assert not np.array_equal(np.asarray(a[0][0]), np.asarray(c[0][0]))
+
+
+def test_eval_transform_matches_reference_pipeline(rng):
+    """Eval path must reproduce the reference's val transforms numerically:
+    LUT -> ToTensor+Normalize -> align-corners bilinear / nearest resizes."""
+    cfg = small_cfg()
+    tx = make_eval_transform_fn(cfg, cs.LABEL_MAPPING_LUT)
+    imgs = rng.integers(0, 256, size=(1, 64, 128, 3), dtype=np.uint8)
+    segs = rng.integers(0, 34, size=(1, 64, 128), dtype=np.uint8)
+    (img_lo, img_hi), (seg_hi, seg_orig) = tx(jnp.asarray(imgs), jnp.asarray(segs))
+
+    # torch golden
+    img_t = t.from_numpy(imgs.astype(np.float32) / 255.0).permute(0, 3, 1, 2)
+    mean = t.tensor(cs.MEAN).view(1, 3, 1, 1)
+    std = t.tensor(cs.STD).view(1, 3, 1, 1)
+    img_t = (img_t - mean) / std
+    img_lo_t = F.interpolate(img_t, size=cfg.input_hw, mode='bilinear', align_corners=True)
+    img_hi_t = F.interpolate(img_t, size=cfg.output_hw, mode='bilinear', align_corners=True)
+    seg_mapped = cs.LABEL_MAPPING_LUT[segs]
+    seg_hi_t = F.interpolate(t.from_numpy(seg_mapped.astype(np.float32))[:, None],
+                             size=cfg.output_hw, mode='nearest')[:, 0]
+
+    np.testing.assert_allclose(np.asarray(img_lo), img_lo_t.permute(0, 2, 3, 1).numpy(),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(img_hi), img_hi_t.permute(0, 2, 3, 1).numpy(),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(seg_hi), seg_hi_t.numpy().astype(np.int32))
+    np.testing.assert_array_equal(np.asarray(seg_orig), seg_mapped.astype(np.int32))
+
+
+def test_identity_affine_recovers_resize(rng):
+    """With rotation=0, scale=1, no flip, the warp must equal a plain
+    center-convention bilinear resize (sanity of the affine composition)."""
+    cfg = AugmentConfig(input_hw=(32, 64), output_hw=(64, 128), degrees=0.0,
+                        min_scale=1.0, max_scale=1.0 + 1e-9, hflip_p=0.0,
+                        blur_p=0.0, grayscale_p=0.0)
+    aug = make_train_augment_fn(cfg, cs.LABEL_MAPPING_LUT)
+    imgs = rng.integers(0, 256, size=(1, 64, 128, 3), dtype=np.uint8)
+    segs = np.zeros((1, 64, 128), dtype=np.uint8)
+    (_, img_hi), _ = aug(jnp.asarray(imgs), jnp.asarray(segs), jax.random.PRNGKey(0))
+    # output_hw == source size and identity transform -> exact passthrough
+    expected = (imgs.astype(np.float32) / 255.0 - np.array(cfg.mean)) / np.array(cfg.std)
+    np.testing.assert_allclose(np.asarray(img_hi), expected, rtol=1e-4, atol=1e-4)
+
+
+def test_loader_yields_all_batches(tmp_path):
+    ds = SyntheticDataset(num_images=10, size_hw=(16, 32))
+    loader = Loader(ds, batch_size=3, shuffle=True, drop_last=True, num_workers=2)
+    batches = list(iter(loader))
+    assert len(batches) == 3 == len(loader)
+    for imgs, segs in batches:
+        assert imgs.shape == (3, 16, 32, 3)
+        assert segs.shape == (3, 16, 32)
+
+
+def test_loader_epoch_reshuffles():
+    ds = SyntheticDataset(num_images=8, size_hw=(4, 8), seed=1)
+    loader = Loader(ds, batch_size=8, shuffle=True, drop_last=True, num_workers=1)
+    loader.set_epoch(1)
+    b1 = next(iter(loader))[0]
+    loader.set_epoch(2)
+    b2 = next(iter(loader))[0]
+    assert not np.array_equal(b1, b2)

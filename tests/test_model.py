@@ -1,0 +1,138 @@
+"""DSRL model tests: shapes, stage gating, state-dict naming, init recipe."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dualsuperreslearningforsemseg_tpu.models import DSRL, state_dict, load_state_dict, count_params
+
+# Small input keeps CPU tests fast: H,W must be divisible by 16 (backbone
+# output stride) and the FA path pools the stride-8 transform by 8.
+TINY_HW = (64, 128)
+
+
+def _init_model(stage, train=False, layers=None):
+    model = DSRL(stage=stage, num_classes=19, backbone_layers=layers)
+    x = jnp.zeros((1, *TINY_HW, 3), jnp.float32)
+    variables = model.init({'params': jax.random.PRNGKey(0), 'dropout': jax.random.PRNGKey(1)},
+                           x, train)
+    return model, variables, x
+
+
+@pytest.mark.parametrize("stage", [1, 2, 3])
+def test_forward_shapes_by_stage(stage):
+    model, variables, x = _init_model(stage)
+    sssr, sisr, sssr_t, sisr_t = model.apply(variables, x, False)
+    h, w = TINY_HW
+    assert sssr.shape == (1, 2 * h, 2 * w, 19)
+    if stage > 1:
+        assert sisr.shape == (1, 2 * h, 2 * w, 3)
+    else:
+        assert sisr is None and sssr_t is None and sisr_t is None
+    if stage > 2:
+        assert sssr_t.shape == (1, 2 * h // 8, 2 * w // 8, 1)
+        assert sisr_t.shape == (1, 2 * h // 8, 2 * w // 8, 1)
+
+
+def test_state_dict_names_match_torch_layout():
+    _, variables, _ = _init_model(3, layers=(3, 4, 23, 3))
+    sd = state_dict(variables)
+    expected = [
+        'feature_extractor.backbone.conv1.weight',
+        'feature_extractor.backbone.bn1.weight',
+        'feature_extractor.backbone.bn1.running_mean',
+        'feature_extractor.backbone.layer1.0.conv1.weight',
+        'feature_extractor.backbone.layer1.0.downsample.0.weight',
+        'feature_extractor.backbone.layer1.0.downsample.1.running_var',
+        'feature_extractor.backbone.layer4.2.bn3.num_batches_tracked',
+        'feature_extractor.aspp.branches.0.0.weight',
+        'feature_extractor.aspp.branches.5.1.bias',
+        'feature_extractor.shortcut_conv.0.weight',
+        'feature_extractor.shortcut_conv.1.running_mean',
+        'SSSR_decoder.cat_conv.0.weight',
+        'SSSR_decoder.cat_conv.5.bias',
+        'SSSR_decoder.cls_conv.weight',
+        'SSSR_decoder.cls_conv.bias',
+        'SSSR_decoder.upsample16_pred.2.weight',
+        'SSSR_decoder.upsample16_pred.3.running_var',
+        'SSSR_decoder.upsample16_pred.6.weight',
+        'SSSR_decoder.upsample16_pred.6.bias',
+        'SISR_decoder.0.weight',
+        'SISR_decoder.0.bias',
+        'SSSR_feature_transformer.0.weight',
+        'SSSR_feature_transformer.1.weight',
+        'SISR_feature_transformer.0.weight',
+    ]
+    for key in expected:
+        assert key in sd, f"missing state-dict key: {key}"
+    # torch conv layout: OIHW
+    assert sd['feature_extractor.backbone.conv1.weight'].shape == (64, 3, 7, 7)
+    assert sd['SSSR_decoder.upsample16_pred.2.weight'].shape == (19, 19, 2, 2)
+    assert sd['SISR_decoder.0.weight'].shape == (3 * 64, 304, 3, 3)
+    # ResNet101 depth check: layer3 has 23 blocks
+    assert 'feature_extractor.backbone.layer3.22.conv3.weight' in sd
+    assert 'feature_extractor.backbone.layer3.23.conv1.weight' not in sd
+
+
+def test_param_count_matches_reference_scale():
+    """Reference stage-1 DSRL is ResNet101 (42.5M) + ASPP + decoder; total
+    should land in the 59-66M range (sanity envelope, not exact)."""
+    _, variables, _ = _init_model(1, layers=(3, 4, 23, 3))
+    trainable, total = count_params(variables)
+    assert trainable == total
+    assert 55e6 < trainable < 70e6, trainable
+
+
+def test_state_dict_roundtrip():
+    _, variables, x = _init_model(2)
+    sd = state_dict(variables)
+    # perturb all weights then load back the originals -> outputs identical
+    model = DSRL(stage=2, num_classes=19)
+    out0 = model.apply(variables, x, False)[0]
+    new_vars, missing, unexpected = load_state_dict(variables, sd, strict=True)
+    assert not missing and not unexpected
+    out1 = model.apply(new_vars, x, False)[0]
+    np.testing.assert_array_equal(np.asarray(out0), np.asarray(out1))
+
+
+def test_stage_cascade_partial_load():
+    """Stage-3 model must absorb stage-2 weights with strict=False, leaving
+    the FA transformers at their init (reference train_or_resume.py:96)."""
+    _, v2, _ = _init_model(2)
+    _, v3, x = _init_model(3)
+    sd2 = state_dict(v2)
+    v3_new, missing, unexpected = load_state_dict(v3, sd2, strict=False)
+    assert not unexpected
+    assert all(('feature_transformer' in k) for k in missing), missing[:5]
+    model = DSRL(stage=3, num_classes=19)
+    out = model.apply(v3_new, x, False)
+    assert out[0].shape[-1] == 19
+
+
+def test_bn3_zero_init_makes_blocks_identity():
+    _, variables, _ = _init_model(1)
+    sd = state_dict(variables)
+    np.testing.assert_array_equal(sd['feature_extractor.backbone.layer1.0.bn3.weight'], 0.0)
+    np.testing.assert_array_equal(sd['feature_extractor.backbone.bn1.weight'], 1.0)
+
+
+def test_train_mode_updates_batch_stats():
+    model, variables, x = _init_model(1)
+    out, mutated = model.apply(variables, jnp.ones_like(x), True,
+                               rngs={'dropout': jax.random.PRNGKey(2)},
+                               mutable=['batch_stats'])
+    before = variables['batch_stats']['feature_extractor']['backbone']['bn1']['num_batches_tracked']
+    after = mutated['batch_stats']['feature_extractor']['backbone']['bn1']['num_batches_tracked']
+    assert int(after) == int(before) + 1
+    rm_after = mutated['batch_stats']['feature_extractor']['backbone']['bn1']['running_mean']
+    assert not np.allclose(np.asarray(rm_after), 0.0)
+
+
+def test_bf16_forward_finite():
+    model = DSRL(stage=3, num_classes=19, dtype=jnp.bfloat16)
+    x = jnp.zeros((1, *TINY_HW, 3), jnp.bfloat16)
+    variables = model.init({'params': jax.random.PRNGKey(0), 'dropout': jax.random.PRNGKey(1)}, x, False)
+    outs = model.apply(variables, x, False)
+    assert outs[0].dtype == jnp.bfloat16
+    assert bool(jnp.isfinite(outs[0].astype(jnp.float32)).all())
