@@ -29,6 +29,14 @@ MEASURE_STEPS = 20
 
 def main():
     import jax
+    # Persistent compilation cache: the stage-3 train step takes minutes to
+    # compile through the remote-compile tunnel on first run; later runs
+    # (including the driver's) hit the cache.
+    try:
+        jax.config.update('jax_compilation_cache_dir', '/tmp/dsrl_tpu_jax_cache')
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from dualsuperreslearningforsemseg_tpu import settings
     from dualsuperreslearningforsemseg_tpu.datasets import cityscapes as cs
@@ -83,9 +91,11 @@ def main():
         state, losses = train_step(state, img_lo, img_hi, seg_hi, lr, k_step)
         return state, key, losses
 
-    for _ in range(WARMUP_STEPS):
+    t0 = time.time()
+    for i in range(WARMUP_STEPS):
         state, key, losses = step(state, key)
-    jax.block_until_ready(losses)
+        jax.block_until_ready(losses)
+        print("warmup step {} done at {:.1f}s".format(i, time.time() - t0), file=sys.stderr)
 
     start = time.time()
     for _ in range(MEASURE_STEPS):

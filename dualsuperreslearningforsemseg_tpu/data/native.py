@@ -1,0 +1,99 @@
+"""ctypes bindings for the native C++ data plane (native/dataplane.cpp).
+
+Loads ``native/libdsrl_dataplane.so``; builds it with ``make`` on first use
+if the toolchain is present; degrades silently to the PIL path otherwise.
+"""
+
+import ctypes
+import os
+import os.path
+import subprocess
+import threading
+
+import numpy as np
+
+from ..utils.logging import CAUTION
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), 'native')
+_SO_PATH = os.path.join(_NATIVE_DIR, 'libdsrl_dataplane.so')
+
+_lib = None
+_lib_lock = threading.Lock()
+_warned = False
+
+
+def _try_build():
+    try:
+        subprocess.run(['make', '-C', _NATIVE_DIR], check=True,
+                       capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    """The loaded native library, or None if unavailable."""
+    global _lib, _warned
+    with _lib_lock:
+        if _lib is not None:
+            return _lib if _lib is not False else None
+        if not os.path.isfile(_SO_PATH) and not _try_build():
+            if not _warned:
+                print(CAUTION("Native data plane unavailable (no toolchain); "
+                              "falling back to PIL decode."))
+                _warned = True
+            _lib = False
+            return None
+        try:
+            lib = ctypes.CDLL(_SO_PATH)
+        except OSError:
+            _lib = False
+            return None
+        lib.dp_version.restype = ctypes.c_int
+        lib.dp_decode_png.restype = ctypes.c_int
+        lib.dp_decode_png.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int]
+        lib.dp_decode_pair_batch.restype = ctypes.c_int
+        lib.dp_decode_pair_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_int]
+        _lib = lib
+        return lib
+
+
+def native_available() -> bool:
+    return get_lib() is not None
+
+
+def decode_pair_batch(img_paths, seg_paths, size_hw, lut=None, threads=8):
+    """Decode n (image, labelIds) PNG pairs into batched uint8 arrays.
+
+    Returns (imgs (n,h,w,3) u8, segs (n,h,w) u8) or raises RuntimeError with
+    the native error code.  ``lut``: optional 256-entry uint8 label LUT
+    applied in the decode pass (fused 34->19 translation)."""
+    lib = get_lib()
+    assert lib is not None, "native data plane not available"
+    n = len(img_paths)
+    h, w = size_hw
+    imgs = np.empty((n, h, w, 3), dtype=np.uint8)
+    segs = np.empty((n, h, w), dtype=np.uint8)
+    c_imgs = (ctypes.c_char_p * n)(*[p.encode() for p in img_paths])
+    c_segs = (ctypes.c_char_p * n)(*[p.encode() for p in seg_paths])
+    lut_arg = None
+    if lut is not None:
+        lut = np.ascontiguousarray(lut, dtype=np.uint8)
+        assert lut.size == 256
+        lut_arg = lut.tobytes()
+    err = lib.dp_decode_pair_batch(
+        c_imgs, c_segs, n,
+        imgs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        segs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h, w, lut_arg, threads)
+    if err != 0:
+        raise RuntimeError("native decode failed with code {}".format(err))
+    return imgs, segs

@@ -58,7 +58,7 @@ class Loader:
 
     def __init__(self, dataset, batch_size, shuffle=True, seed=54321,
                  drop_last=True, num_workers=4, world_size=1, rank=0,
-                 prefetch=2):
+                 prefetch=2, use_native=True):
         self.dataset = dataset
         self.batch_size = batch_size
         self.sampler = ShardedSampler(len(dataset), world_size, rank, shuffle,
@@ -67,6 +67,16 @@ class Loader:
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.epoch = 0
+        # Native C++ batch decode (threaded libpng) when the dataset exposes
+        # file pairs and the shared library is available; PIL otherwise.
+        self._native_hw = None
+        if use_native and hasattr(dataset, 'pairs') and len(dataset) > 0:
+            from .native import native_available
+            if native_available():
+                import numpy as _np
+                from PIL import Image as _Image
+                with _Image.open(dataset.pairs[0][0]) as im:
+                    self._native_hw = (im.height, im.width)
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -89,6 +99,15 @@ class Loader:
         stop = threading.Event()
 
         def decode_batch(batch_idx):
+            if self._native_hw is not None:
+                from .native import decode_pair_batch
+                img_paths = [self.dataset.pairs[int(i)][0] for i in batch_idx]
+                seg_paths = [self.dataset.pairs[int(i)][1] for i in batch_idx]
+                try:
+                    return decode_pair_batch(img_paths, seg_paths, self._native_hw,
+                                             threads=max(2, self.num_workers))
+                except RuntimeError:
+                    pass  # fall through to PIL
             imgs, segs = [], []
             for i in batch_idx:
                 img, seg = self.dataset[int(i)]

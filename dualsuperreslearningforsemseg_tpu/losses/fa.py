@@ -62,8 +62,13 @@ def _fa_single(fm1_hw: jnp.ndarray, fm2_hw: jnp.ndarray) -> jnp.ndarray:
 
 
 def fa_loss(feature_map1: jnp.ndarray, feature_map2: jnp.ndarray,
-            subsample_factor: int = 8) -> jnp.ndarray:
-    """FA loss over NHWC feature maps; scalar f32, reduction='mean'."""
+            subsample_factor: int = 8, impl: str = 'auto') -> jnp.ndarray:
+    """FA loss over NHWC feature maps; scalar f32, reduction='mean'.
+
+    impl: 'sorted' (closed form, O(N log N)), 'pallas' (blocked TPU kernel,
+    O(N²/tile) with no quadratic memory), or 'auto' (pallas on TPU when the
+    similarity size is lane-aligned, else sorted).
+    """
     assert feature_map1.ndim == 4, \
         "BUG CHECK: Feature map inputs to fa_loss must have 4 dimensions (B, H, W, C)."
     assert feature_map1.shape == feature_map2.shape, \
@@ -74,6 +79,21 @@ def fa_loss(feature_map1: jnp.ndarray, feature_map2: jnp.ndarray,
     # (B, h, w, C) -> (B*C, h, w) slices, vmapped.
     p1 = jnp.transpose(p1, (0, 3, 1, 2)).reshape(-1, p1.shape[1], p1.shape[2])
     p2 = jnp.transpose(p2, (0, 3, 1, 2)).reshape(-1, p2.shape[1], p2.shape[2])
+
+    n_sim = p1.shape[2] * p1.shape[2]  # similarity is (w, w) -> N = w² entries
+    if impl == 'auto':
+        on_tpu = jax.default_backend() == 'tpu'
+        impl = 'pallas' if (on_tpu and n_sim % 128 == 0) else 'sorted'
+
+    if impl == 'pallas':
+        from ..ops.pallas import fa_allpairs_abs_mean_pallas
+
+        def sim_rows(p):
+            s = jax.vmap(lambda m: _column_similarity(m / _spectral_norm_hw(m)))(p)
+            return s.reshape(s.shape[0], -1)
+
+        return fa_allpairs_abs_mean_pallas(sim_rows(p1), sim_rows(p2))
+
     per_slice = jax.vmap(_fa_single)(p1, p2)
     return per_slice.mean()
 

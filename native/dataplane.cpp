@@ -1,0 +1,169 @@
+// DSRL-TPU native data plane: threaded PNG decode + fused label translation.
+//
+// The training input pipeline's host-side cost is PNG decode of 1024x2048
+// Cityscapes frames (the reference spent it inside PIL/torchvision worker
+// processes, /root/reference/command_handlers/train_or_resume.py:147-153).
+// This library decodes image/label pairs on a C++ thread pool (libpng +
+// zlib), applies the 34->19 label LUT during the decode pass, and writes
+// straight into the caller-provided batch buffer — zero Python-side copies.
+//
+// Exposed C ABI (consumed via ctypes from
+// dualsuperreslearningforsemseg_tpu/data/native.py):
+//   dp_version() -> int
+//   dp_decode_png(path, out, cap, &h, &w, &c) -> 0/err
+//   dp_decode_pair_batch(img_paths, seg_paths, n, imgs_out, segs_out,
+//                        h, w, lut_or_null, threads) -> 0/err
+
+#include <png.h>
+
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct DecodeResult {
+  int height = 0;
+  int width = 0;
+  int channels = 0;
+  int error = 0;  // 0 ok; 1 open; 2 not-png; 3 decode; 4 overflow
+};
+
+// Decode one PNG into `out` (row-major, tightly packed, 8-bit). If
+// force_channels is 3 the output is RGB (gray/palette/RGBA converted); if 1
+// the output is a single channel (assumes grayscale source - label maps).
+DecodeResult decode_png(const char* path, uint8_t* out, size_t out_cap,
+                        int force_channels) {
+  DecodeResult res;
+  FILE* fp = std::fopen(path, "rb");
+  if (!fp) {
+    res.error = 1;
+    return res;
+  }
+  png_byte header[8];
+  if (std::fread(header, 1, 8, fp) != 8 || png_sig_cmp(header, 0, 8)) {
+    std::fclose(fp);
+    res.error = 2;
+    return res;
+  }
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  png_infop info = png_create_info_struct(png);
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    std::fclose(fp);
+    res.error = 3;
+    return res;
+  }
+  png_init_io(png, fp);
+  png_set_sig_bytes(png, 8);
+  png_read_info(png, info);
+
+  png_uint_32 width = png_get_image_width(png, info);
+  png_uint_32 height = png_get_image_height(png, info);
+  png_byte color_type = png_get_color_type(png, info);
+  png_byte bit_depth = png_get_bit_depth(png, info);
+
+  if (bit_depth == 16) png_set_strip_16(png);
+  if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+  if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth < 8)
+    png_set_expand_gray_1_2_4_to_8(png);
+  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+  if (force_channels == 3) {
+    if (color_type == PNG_COLOR_TYPE_GRAY ||
+        color_type == PNG_COLOR_TYPE_GRAY_ALPHA)
+      png_set_gray_to_rgb(png);
+    // Drop alpha if present.
+    png_set_strip_alpha(png);
+  } else if (force_channels == 1) {
+    if (color_type == PNG_COLOR_TYPE_RGB ||
+        color_type == PNG_COLOR_TYPE_RGB_ALPHA ||
+        color_type == PNG_COLOR_TYPE_PALETTE)
+      png_set_rgb_to_gray_fixed(png, 1, -1, -1);
+    png_set_strip_alpha(png);
+  }
+  png_read_update_info(png, info);
+
+  size_t rowbytes = png_get_rowbytes(png, info);
+  int channels = static_cast<int>(rowbytes / width);
+  if (rowbytes * height > out_cap) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    std::fclose(fp);
+    res.error = 4;
+    return res;
+  }
+  std::vector<png_bytep> rows(height);
+  for (png_uint_32 y = 0; y < height; ++y) rows[y] = out + y * rowbytes;
+  png_read_image(png, rows.data());
+  png_destroy_read_struct(&png, &info, nullptr);
+  std::fclose(fp);
+
+  res.height = static_cast<int>(height);
+  res.width = static_cast<int>(width);
+  res.channels = channels;
+  return res;
+}
+
+}  // namespace
+
+extern "C" {
+
+int dp_version() { return 1; }
+
+int dp_decode_png(const char* path, uint8_t* out, int64_t out_cap, int* h,
+                  int* w, int* c, int force_channels) {
+  DecodeResult r =
+      decode_png(path, out, static_cast<size_t>(out_cap), force_channels);
+  *h = r.height;
+  *w = r.width;
+  *c = r.channels;
+  return r.error;
+}
+
+// Decode n (image, label) pairs into contiguous batch buffers.
+//   imgs_out: n * h * w * 3 bytes;  segs_out: n * h * w bytes.
+// Each file must decode to exactly (h, w). `lut` (256 bytes) is applied to
+// label pixels when non-null. Returns 0 or the first nonzero error code.
+int dp_decode_pair_batch(const char** img_paths, const char** seg_paths,
+                         int n, uint8_t* imgs_out, uint8_t* segs_out, int h,
+                         int w, const uint8_t* lut, int threads) {
+  if (threads < 1) threads = 1;
+  std::atomic<int> next{0};
+  std::atomic<int> err{0};
+  const size_t img_sz = static_cast<size_t>(h) * w * 3;
+  const size_t seg_sz = static_cast<size_t>(h) * w;
+
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n || err.load() != 0) return;
+      DecodeResult ri =
+          decode_png(img_paths[i], imgs_out + i * img_sz, img_sz, 3);
+      if (ri.error || ri.height != h || ri.width != w || ri.channels != 3) {
+        err.store(ri.error ? ri.error : 5);
+        return;
+      }
+      uint8_t* seg = segs_out + i * seg_sz;
+      DecodeResult rs = decode_png(seg_paths[i], seg, seg_sz, 1);
+      if (rs.error || rs.height != h || rs.width != w || rs.channels != 1) {
+        err.store(rs.error ? rs.error : 5);
+        return;
+      }
+      if (lut != nullptr) {
+        for (size_t p = 0; p < seg_sz; ++p) seg[p] = lut[seg[p]];
+      }
+    }
+  };
+
+  std::vector<std::thread> pool;
+  int nt = threads < n ? threads : n;
+  pool.reserve(nt);
+  for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
+  for (auto& t : pool) t.join();
+  return err.load();
+}
+
+}  // extern "C"
