@@ -85,6 +85,11 @@ def main():
     key = jax.random.PRNGKey(0)
     lr = jnp.float32(0.006)
 
+    t_aug = time.time()
+    (img_lo0, _), _ = augment(imgs_dev, segs_dev, key)
+    jax.block_until_ready(img_lo0)
+    print("augment compile done in {:.1f}s".format(time.time() - t_aug), file=sys.stderr)
+
     def step(state, key):
         key, k_aug, k_step = jax.random.split(key, 3)
         (img_lo, img_hi), (seg_hi, _) = augment(imgs_dev, segs_dev, k_aug)

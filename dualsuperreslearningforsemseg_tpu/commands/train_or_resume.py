@@ -479,18 +479,23 @@ def _val_epoch(state, eval_step, loader, eval_fn, mesh, epoch, stage, master,
     sharding3 = batch_sharding(mesh, 3)
 
     example_index = np.random.randint(0, max(len(loader), 1)) if master else -1
+    n_shards = len(mesh.devices.reshape(-1)) // jax.process_count()
 
     with ConditionalContextManager(master, lambda: tqdm(
             total=len(loader), desc='VALIDATING', colour='yellow', position=1,
             leave=False, bar_format=settings.PROGRESSBAR_FORMAT)) as progressbar:
         for i, (imgs_u8, segs_u8) in enumerate(loader):
+            n = imgs_u8.shape[0]
+            # Pad ragged final batches up to the shard count; the sample mask
+            # removes padded rows from every loss/metric (steps.make_eval_step).
+            imgs_u8, segs_u8, mask = _pad_batch(imgs_u8, segs_u8, n_shards)
             imgs_dev = jax.make_array_from_process_local_data(sharding, imgs_u8)
             segs_dev = jax.make_array_from_process_local_data(sharding3, segs_u8)
             (img_lo, img_hi), (seg_hi, _) = eval_fn(imgs_dev, segs_dev)
             losses, pred, hists, acc = eval_step(state.params, state.batch_stats,
-                                                 img_lo, img_hi, seg_hi)
+                                                 img_lo, img_hi, seg_hi,
+                                                 jnp.asarray(mask))
             host = jax.device_get(losses)
-            n = imgs_u8.shape[0]
             CE_avg.update(float(host['CE']), n)
             MSE_avg.update(float(host['MSE']), n)
             FA_avg.update(float(host['FA']), n)
@@ -518,6 +523,18 @@ def _val_epoch(state, eval_step, loader, eval_fn, mesh, epoch, stage, master,
         print(termcolor.colored("Validation results:\n{:s}".format(', '.join(log)), 'yellow'))
 
     return (CE_avg(), MSE_avg(), FA_avg(), Total_avg()), miou(), mean_accuracy()
+
+
+def _pad_batch(imgs_u8, segs_u8, multiple):
+    """Pad a host batch to a multiple of the shard count; returns mask (B,)."""
+    n = imgs_u8.shape[0]
+    pad = (-n) % max(multiple, 1)
+    mask = np.ones((n + pad,), np.float32)
+    if pad:
+        mask[n:] = 0.0
+        imgs_u8 = np.concatenate([imgs_u8, np.zeros((pad, *imgs_u8.shape[1:]), imgs_u8.dtype)])
+        segs_u8 = np.concatenate([segs_u8, np.zeros((pad, *segs_u8.shape[1:]), segs_u8.dtype)])
+    return imgs_u8, segs_u8, mask
 
 
 def _log_example_image(logger, img_hi, pred, ds_settings, epoch):

@@ -91,44 +91,60 @@ def _sample_affine(key, src_hw, out_hw, cfg: AugmentConfig):
     return jnp.stack([jnp.stack([m00, m01, m02]), jnp.stack([m10, m11, m12])])
 
 
-def _warp_bilinear(img, matrix, out_hw, fill):
-    """Affine-resample one (H, W, C) image to out_hw with bilinear filtering;
-    out-of-bounds pixels get ``fill``."""
-    h0, w0 = img.shape[0], img.shape[1]
+def _source_coords(matrix, out_hw):
     oh, ow = out_hw
     ys = jax.lax.broadcasted_iota(jnp.float32, (oh, ow), 0)
     xs = jax.lax.broadcasted_iota(jnp.float32, (oh, ow), 1)
     sx = matrix[0, 0] * xs + matrix[0, 1] * ys + matrix[0, 2]
     sy = matrix[1, 0] * xs + matrix[1, 1] * ys + matrix[1, 2]
+    return sx, sy
+
+
+def _flat_take(img_flat, y_idx, x_idx, w0):
+    """Gather pixels by (y, x) index maps as a SINGLE-axis take of the
+    row-flattened image.  A 2-D advanced-indexing gather lowers to scalarized
+    code on TPU (minutes of compile, slow execution); a flat 1-D take lowers
+    to the same efficient dynamic-gather as the resize ops."""
+    flat_idx = (y_idx * w0 + x_idx).reshape(-1)
+    return jnp.take(img_flat, flat_idx, axis=0)
+
+
+def _warp_bilinear(img, matrix, out_hw, fill):
+    """Affine-resample one (H, W, C) image to out_hw with bilinear filtering;
+    out-of-bounds pixels get ``fill``."""
+    h0, w0, c = img.shape
+    oh, ow = out_hw
+    sx, sy = _source_coords(matrix, out_hw)
     valid = (sx >= 0) & (sx <= w0 - 1) & (sy >= 0) & (sy <= h0 - 1)
 
     x0 = jnp.clip(jnp.floor(sx).astype(jnp.int32), 0, w0 - 1)
     y0 = jnp.clip(jnp.floor(sy).astype(jnp.int32), 0, h0 - 1)
     x1 = jnp.minimum(x0 + 1, w0 - 1)
     y1 = jnp.minimum(y0 + 1, h0 - 1)
-    fx = (sx - x0)[..., None]
-    fy = (sy - y0)[..., None]
+    fx = (sx - x0).reshape(-1, 1)
+    fy = (sy - y0).reshape(-1, 1)
 
-    v00 = img[y0, x0]
-    v01 = img[y0, x1]
-    v10 = img[y1, x0]
-    v11 = img[y1, x1]
+    img_flat = img.reshape(h0 * w0, c)
+    v00 = _flat_take(img_flat, y0, x0, w0)
+    v01 = _flat_take(img_flat, y0, x1, w0)
+    v10 = _flat_take(img_flat, y1, x0, w0)
+    v11 = _flat_take(img_flat, y1, x1, w0)
     out = (v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy)
            + v10 * (1 - fx) * fy + v11 * fx * fy)
+    out = out.reshape(oh, ow, c)
     return jnp.where(valid[..., None], out, fill)
 
 
 def _warp_nearest(seg, matrix, out_hw, fill):
     h0, w0 = seg.shape[0], seg.shape[1]
     oh, ow = out_hw
-    ys = jax.lax.broadcasted_iota(jnp.float32, (oh, ow), 0)
-    xs = jax.lax.broadcasted_iota(jnp.float32, (oh, ow), 1)
-    sx = matrix[0, 0] * xs + matrix[0, 1] * ys + matrix[0, 2]
-    sy = matrix[1, 0] * xs + matrix[1, 1] * ys + matrix[1, 2]
+    sx, sy = _source_coords(matrix, out_hw)
     xr = jnp.round(sx).astype(jnp.int32)
     yr = jnp.round(sy).astype(jnp.int32)
     valid = (xr >= 0) & (xr < w0) & (yr >= 0) & (yr < h0)
-    out = seg[jnp.clip(yr, 0, h0 - 1), jnp.clip(xr, 0, w0 - 1)]
+    flat = _flat_take(seg.reshape(-1, 1), jnp.clip(yr, 0, h0 - 1),
+                      jnp.clip(xr, 0, w0 - 1), w0)
+    out = flat.reshape(oh, ow)
     return jnp.where(valid, out, jnp.asarray(fill, seg.dtype))
 
 

@@ -26,16 +26,42 @@ materializing QKᵀ, applied to the pairwise L1.  Gradients flow through the
 sort/gather and match the sign-based subgradient of |·| almost everywhere.
 """
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
 from ..ops.resize import avg_pool_nhwc
 
 
-def _spectral_norm_hw(x: jnp.ndarray) -> jnp.ndarray:
-    """Largest singular value of each (..., h, w) matrix, keepdims on (h, w)."""
-    s = jnp.linalg.svd(x.astype(jnp.float32), compute_uv=False)
-    return jnp.max(s, axis=-1)[..., None, None]
+def _spectral_norm_hw(x: jnp.ndarray, iters: int = 60) -> jnp.ndarray:
+    """Largest singular value of each (..., h, w) matrix, keepdims on (h, w).
+
+    Computed by power iteration on G = AᵀA instead of ``jnp.linalg.svd`` —
+    XLA's TPU SVD lowers to an enormous iterative routine whose compile time
+    (especially under autodiff) dominates the whole train-step build.  Power
+    iteration is a chain of tiny MXU matvecs; the value converges to σ₁ and
+    the gradient is taken through the exact Rayleigh quotient σ = uᵀAv with
+    stop-gradient singular vectors — mathematically the true SVD gradient
+    (dσ/dA = u vᵀ) almost everywhere.
+    """
+    a = x.astype(jnp.float32)
+    gram = jnp.einsum('...hi,...hj->...ij', a, a)      # (..., w, w)
+    w = gram.shape[-1]
+    # Deterministic, generically non-orthogonal start vector.
+    v = jnp.full(gram.shape[:-2] + (w,), 1.0 / np.sqrt(w), jnp.float32)
+    v = v.at[..., 0].add(0.01)
+
+    def body(_, v):
+        v = jnp.einsum('...ij,...j->...i', gram, v)
+        return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30)
+
+    v = jax.lax.fori_loop(0, iters, body, v)
+    v = jax.lax.stop_gradient(v)
+    av = jnp.einsum('...hi,...i->...h', a, v)           # A v
+    sigma_u = jnp.linalg.norm(av, axis=-1, keepdims=True)
+    u = jax.lax.stop_gradient(av / jnp.maximum(sigma_u, 1e-30))
+    sigma = jnp.einsum('...h,...hi,...i->...', u, a, v)  # uᵀ A v, grad = u vᵀ
+    return jnp.maximum(sigma, 1e-30)[..., None, None]
 
 
 def _column_similarity(fm_hw: jnp.ndarray) -> jnp.ndarray:
@@ -82,8 +108,26 @@ def fa_loss(feature_map1: jnp.ndarray, feature_map2: jnp.ndarray,
 
     n_sim = p1.shape[2] * p1.shape[2]  # similarity is (w, w) -> N = w² entries
     if impl == 'auto':
-        on_tpu = jax.default_backend() == 'tpu'
-        impl = 'pallas' if (on_tpu and n_sim % 128 == 0) else 'sorted'
+        # The N² pair tensor is tiny at production shapes (N=256 -> 65k
+        # elements/slice): plain elementwise math beats any clever scheme and
+        # carries zero compile risk.  The blocked pallas kernel / sorted
+        # closed form take over only when N² would actually blow up memory.
+        if n_sim * n_sim <= 4_000_000:
+            impl = 'dense'
+        else:
+            on_tpu = jax.default_backend() == 'tpu'
+            impl = 'pallas' if (on_tpu and n_sim % 128 == 0) else 'sorted'
+
+    if impl == 'dense':
+
+        def sim(p):
+            normed = p / _spectral_norm_hw(p)
+            return jnp.einsum('bhi,bhj->bij', normed, normed,
+                              preferred_element_type=jnp.float32)
+
+        s1 = sim(p1).reshape(p1.shape[0], -1)
+        s2 = sim(p2).reshape(p2.shape[0], -1)
+        return jnp.abs(s1[:, :, None] - s2[:, None, :]).mean()
 
     if impl == 'pallas':
         from ..ops.pallas import fa_allpairs_abs_mean_pallas

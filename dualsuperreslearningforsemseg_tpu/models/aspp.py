@@ -16,7 +16,7 @@ import flax.linen as nn
 
 from .norm import TorchBatchNorm
 from .init import kaiming_normal_fan_out_conv
-from ..ops.resize import resize_bilinear_align_corners, global_avg_pool_nhwc
+from ..ops.resize import resize_bilinear_matmul, global_avg_pool_nhwc
 
 
 class ASPP(nn.Module):
@@ -49,7 +49,7 @@ class ASPP(nn.Module):
         conv4, bn4 = self._branch(4, 1, 0, 1)
         g = global_avg_pool_nhwc(x)
         g = nn.relu(bn4(conv4(g), use_ra))
-        g = resize_bilinear_align_corners(g, x.shape[1:3])
+        g = resize_bilinear_matmul(g, x.shape[1:3])
         outputs.append(g)
 
         conv5, bn5 = self._branch(5, 1, 0, 1)

@@ -36,7 +36,7 @@ from .aspp import ASPP
 from .norm import TorchBatchNorm
 from .init import (kaiming_normal_fan_out_conv, kaiming_normal_fan_out_convtranspose,
                    torch_conv_bias_init)
-from ..ops.resize import resize_bilinear_align_corners
+from ..ops.resize import resize_bilinear_matmul
 from ..ops.conv import conv_transpose_2x2_stride2, pixel_shuffle
 from ..consts import NUM_RGB_CHANNELS
 
@@ -85,7 +85,7 @@ class FeatureExtractor(nn.Module):
         backbone_features, lowlevel_features = ResNet101(layers=layers, dtype=self.dtype, name='backbone')(x, train, freeze_bn)
         aspp_features = ASPP(out_channels=256, rate=1, dtype=self.dtype, name='aspp')(backbone_features, train, freeze_bn)
         h, w = aspp_features.shape[1:3]
-        aspp_features = resize_bilinear_align_corners(aspp_features, (4 * h, 4 * w))
+        aspp_features = resize_bilinear_matmul(aspp_features, (4 * h, 4 * w))
         shortcut = _conv(48, 1, name='shortcut_conv.0')(lowlevel_features)
         shortcut = TorchBatchNorm(48, dtype=self.dtype, name='shortcut_conv.1')(shortcut, use_ra)
         shortcut = nn.relu(shortcut)
@@ -112,7 +112,7 @@ class SSSRDecoder(nn.Module):
         y = _conv(self.num_classes, 1, use_bias=True, in_channels=256, name='cls_conv')(y)
 
         h, w = y.shape[1:3]
-        y = resize_bilinear_align_corners(y, (2 * h, 2 * w))
+        y = resize_bilinear_matmul(y, (2 * h, 2 * w))
         y = nn.Dropout(0.2, deterministic=det, name='upsample16_pred.1')(y)
         y = ConvTranspose2x2(self.num_classes, self.num_classes, use_bias=False,
                              name='upsample16_pred.2')(y)

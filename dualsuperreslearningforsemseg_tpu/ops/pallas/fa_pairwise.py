@@ -36,18 +36,21 @@ _J_TILE = 128
 
 
 def _fwd_kernel(a_ref, b_ref, out_ref):
+    # NB: every intermediate stays rank >= 2 — Mosaic's vector layouts reject
+    # rank-1 values (layout.h "arr.size() >= layout_rank" check).
     a = a_ref[:]                      # (ROW_TILE, N)
     n = a.shape[1]
     num_j_tiles = n // _J_TILE
 
-    def body(jt, acc):
+    def body(jt, acc):                # acc: (ROW_TILE, TJ)
         bt = b_ref[:, pl.ds(jt * _J_TILE, _J_TILE)]          # (ROW_TILE, TJ)
         diff = jnp.abs(a[:, :, None] - bt[:, None, :])       # (ROW_TILE, N, TJ)
-        return acc + jnp.sum(diff, axis=(1, 2))
+        return acc + jnp.sum(diff, axis=1)
 
     acc = jax.lax.fori_loop(0, num_j_tiles, body,
-                            jnp.zeros((_ROW_TILE,), jnp.float32))
-    out_ref[:] = jnp.broadcast_to(acc[:, None], (_ROW_TILE, 128))
+                            jnp.zeros((_ROW_TILE, _J_TILE), jnp.float32))
+    out_ref[:] = jnp.broadcast_to(jnp.sum(acc, axis=1, keepdims=True),
+                                  (_ROW_TILE, 128))
 
 
 def _bwd_kernel(a_ref, b_ref, da_ref, db_ref):

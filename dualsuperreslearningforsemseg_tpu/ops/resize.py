@@ -68,6 +68,39 @@ def resize_bilinear_align_corners(x: jnp.ndarray, out_hw) -> jnp.ndarray:
     return xf.astype(orig_dtype)
 
 
+@functools.lru_cache(maxsize=None)
+def _interp_matrix(in_size: int, out_size: int):
+    """Dense (out, in) align-corners interpolation matrix (2 nonzeros/row)."""
+    i0, i1, frac = _linear_indices_weights(in_size, out_size)
+    m = np.zeros((out_size, in_size), dtype=np.float32)
+    rows = np.arange(out_size)
+    np.add.at(m, (rows, i0), 1.0 - frac)
+    np.add.at(m, (rows, i1), frac)
+    return m
+
+
+def resize_bilinear_matmul(x: jnp.ndarray, out_hw) -> jnp.ndarray:
+    """Bilinear align_corners=True resize expressed as two small matmuls.
+
+    Numerically identical to :func:`resize_bilinear_align_corners` in f32
+    (each output is the same two-term lerp), but lowers to MXU matmuls whose
+    TRANSPOSE is also a matmul — the gather formulation's backward is a
+    scatter-add, which TPUs execute poorly.  Used on the model's in-graph
+    upsampling paths (ASPP x4, decoder x2) where gradients flow.
+    """
+    out_h, out_w = int(out_hw[0]), int(out_hw[1])
+    *lead, in_h, in_w, c = x.shape
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    if in_h != out_h:
+        mh = jnp.asarray(_interp_matrix(in_h, out_h))
+        xf = jnp.einsum('oh,...hwc->...owc', mh, xf)
+    if in_w != out_w:
+        mw = jnp.asarray(_interp_matrix(in_w, out_w))
+        xf = jnp.einsum('pw,...hwc->...hpc', mw, xf)
+    return xf.astype(orig_dtype)
+
+
 def resize_nearest(x: jnp.ndarray, out_hw, spatial_axes=(-3, -2)) -> jnp.ndarray:
     """Nearest-neighbor resize matching ``torch`` ``mode='nearest'``.
 

@@ -86,11 +86,16 @@ def make_train_step(model, stage: int, w1: float, w2: float, momentum: float,
 
 def make_eval_step(model, stage: int, w1: float, w2: float, num_classes: int,
                    ignore_label: int = 255, dry_run: bool = False):
-    """Returns jitted fn(params, batch_stats, img_lo, img_hi, seg) ->
-    (losses, pred (B,H,W) i32, (area_pred, area_inter, area_target),
-    (correct, valid))."""
+    """Returns jitted fn(params, batch_stats, img_lo, img_hi, seg, sample_mask)
+    -> (losses, pred (B,H,W) i32, (area_pred, area_inter, area_target),
+    (correct, valid)).
 
-    def eval_step(params, batch_stats, img_lo, img_hi, seg):
+    ``sample_mask`` ((B,) f32, 1 = real sample) supports padding ragged final
+    batches up to the device count: padded rows contribute nothing to any
+    loss or metric, so drop_last=False evaluation is exact on a sharded mesh.
+    """
+
+    def eval_step(params, batch_stats, img_lo, img_hi, seg, sample_mask):
         if dry_run:
             b, h, w = seg.shape
             key = jax.random.PRNGKey(0)
@@ -100,9 +105,23 @@ def make_eval_step(model, stage: int, w1: float, w2: float, num_classes: int,
         else:
             sssr, sisr, sssr_t, sisr_t = model.apply(
                 {'params': params, 'batch_stats': batch_stats}, img_lo, False)
+
+        # Mask padded samples out of the label tensor: every pixel becomes
+        # ignore, removing them from CE and the metric histograms.
+        seg = jnp.where(sample_mask[:, None, None] > 0, seg, ignore_label)
         ce = cross_entropy_loss(sssr, seg, ignore_label)
-        mse = w1 * mse_loss(sisr, img_hi) if stage > 1 else jnp.float32(0)
-        fa = w2 * fa_loss(sssr_t, sisr_t) if stage > 2 else jnp.float32(0)
+        if stage > 1:
+            per_sample_mse = jnp.mean(
+                (sisr.astype(jnp.float32) - img_hi.astype(jnp.float32)) ** 2,
+                axis=(1, 2, 3))
+            mse = w1 * jnp.sum(per_sample_mse * sample_mask) / jnp.maximum(sample_mask.sum(), 1)
+        else:
+            mse = jnp.float32(0)
+        if stage > 2:
+            # FA averages per (batch, channel) slice; reweight by sample mask.
+            fa = w2 * _fa_masked(sssr_t, sisr_t, sample_mask)
+        else:
+            fa = jnp.float32(0)
         total = ce + mse + fa
         pred = jnp.argmax(sssr, axis=-1).astype(jnp.int32)
         hists = batch_histograms(pred, seg, num_classes, ignore_label)
@@ -111,3 +130,11 @@ def make_eval_step(model, stage: int, w1: float, w2: float, num_classes: int,
         return losses, pred, hists, acc
 
     return jax.jit(eval_step)
+
+
+def _fa_masked(sssr_t, sisr_t, sample_mask):
+    """FA loss restricted to unmasked samples (per-sample vmap + weighting)."""
+    from ..losses import fa_loss as _fa
+
+    per_sample = jax.vmap(lambda a, b: _fa(a[None], b[None]))(sssr_t, sisr_t)
+    return jnp.sum(per_sample * sample_mask) / jnp.maximum(sample_mask.sum(), 1)

@@ -52,6 +52,19 @@ def _select_platform(args):
             jax.config.update('jax_platforms', 'cpu')
         except Exception:
             pass
+    else:
+        # Persistent compilation cache: TPU compiles are expensive (remote
+        # tunnels especially); repeat invocations hit the cache.
+        try:
+            jax.config.update('jax_compilation_cache_dir', '/tmp/dsrl_tpu_jax_cache')
+            jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+        except Exception:
+            pass
+    if getattr(args, 'debug_nans', False):
+        # TPU-native equivalent of the reference's per-step NaN asserts
+        # (/root/reference/command_handlers/train_or_resume.py:406-433) — the
+        # runtime re-runs any op producing NaN in op-by-op mode and raises.
+        jax.config.update('jax_debug_nans', True)
     return device
 
 
@@ -140,6 +153,7 @@ def parse_cmdline_and_invoke_main(args):
         train_parser.add_argument('--description', type=str, default=None, help="Description of experiment to be saved in 'params.txt' with given commandline parameters")
         train_parser.add_argument('--early-stopping', action='store_true', help="Automatically stop training when training error is less than validation error")
         train_parser.add_argument('--dry-run', action='store_true', help="Disable actual training and validation code used to debug boilerplate code around them")
+        train_parser.add_argument('--debug-nans', action='store_true', help="Raise on the first NaN produced by any op (replaces the reference's per-step NaN asserts)")
         train_parser.add_argument('--yes', action='store_true', help="Assume 'yes' for interactive confirmations (non-interactive runs)")
 
         config_train_parser = command_parser.add_parser('config-train', help="JSON configuration file that provides commandline parameters for training")

@@ -52,12 +52,13 @@ def test_mse_matches_torch(rng):
     assert abs(ours - theirs) < 1e-6
 
 
+@pytest.mark.parametrize("impl", ['dense', 'sorted'])
 @pytest.mark.parametrize("shape", [(2, 32, 64, 1), (1, 16, 16, 2)])
-def test_fa_loss_matches_torch_reference(rng, shape):
+def test_fa_loss_matches_torch_reference(rng, shape, impl):
     fm1 = rng.standard_normal(shape, dtype=np.float32)
     fm2 = rng.standard_normal(shape, dtype=np.float32)
 
-    ours = float(jax.jit(fa_loss, static_argnums=2)(jnp.asarray(fm1), jnp.asarray(fm2), 8))
+    ours = float(jax.jit(fa_loss, static_argnums=(2, 3))(jnp.asarray(fm1), jnp.asarray(fm2), 8, impl))
     dense = float(fa_loss_reference_dense(jnp.asarray(fm1), jnp.asarray(fm2), 8))
     theirs = _torch_fa_loss(t.from_numpy(np.transpose(fm1, (0, 3, 1, 2))),
                             t.from_numpy(np.transpose(fm2, (0, 3, 1, 2)))).item()

@@ -81,3 +81,15 @@ def test_visualization_strip_shape_and_palette(rng):
     np.testing.assert_array_equal(strip[:, 0, 24], (0, 0, 0))     # ignore color
     cls = seg[3, 3]
     np.testing.assert_array_equal(strip[:, 3, 24 + 3], cs.CLASS_RGB_COLOR[cls])
+
+
+def test_matmul_resize_matches_gather(rng):
+    from dualsuperreslearningforsemseg_tpu.ops.resize import resize_bilinear_matmul
+    x = rng.standard_normal((2, 16, 32, 8), dtype=np.float32)
+    a = np.asarray(resize_bilinear_align_corners(jnp.asarray(x), (64, 128)))
+    b = np.asarray(resize_bilinear_matmul(jnp.asarray(x), (64, 128)))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+    # downscale path too
+    a = np.asarray(resize_bilinear_align_corners(jnp.asarray(x), (7, 13)))
+    b = np.asarray(resize_bilinear_matmul(jnp.asarray(x), (7, 13)))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
