@@ -71,14 +71,18 @@ def main():
                                  ignore_label=cs.IGNORE_CLASS_LABEL, mesh=mesh)
     aug_cfg = AugmentConfig(input_hw=input_hw, output_hw=output_hw,
                             mean=cs.MEAN, std=cs.STD)
-    augment = make_train_augment_fn(aug_cfg, cs.LABEL_MAPPING_LUT)
+    # Mirrors the production path: the host (native C++ data plane) decodes
+    # and affine-warps to output_hw overlapped with device compute; the
+    # device runs the photometric tail + the fused train step.  Pre-staged
+    # warped uint8 batches stand in for the loader's output.
+    from dualsuperreslearningforsemseg_tpu.data import make_device_post_fn
+    post = make_device_post_fn(aug_cfg)
 
-    # Pre-staged raw batch at full Cityscapes resolution (1024x2048), as the
-    # real pipeline ships decoded uint8 to the device.
     rng = np.random.default_rng(0)
     global_batch = BATCH * n_chips
-    imgs = rng.integers(0, 256, size=(global_batch, 1024, 2048, 3), dtype=np.uint8)
-    segs = rng.integers(0, 34, size=(global_batch, 1024, 2048), dtype=np.uint8)
+    imgs = rng.integers(0, 256, size=(global_batch, *output_hw, 3), dtype=np.uint8)
+    segs = rng.integers(0, 19, size=(global_batch, *output_hw), dtype=np.uint8)
+    segs[:, :4] = 255
     imgs_dev = jax.device_put(imgs, batch_sharding(mesh, 4))
     segs_dev = jax.device_put(segs, batch_sharding(mesh, 3))
 
@@ -86,13 +90,13 @@ def main():
     lr = jnp.float32(0.006)
 
     t_aug = time.time()
-    (img_lo0, _), _ = augment(imgs_dev, segs_dev, key)
+    (img_lo0, _), _ = post(imgs_dev, segs_dev, key)
     jax.block_until_ready(img_lo0)
-    print("augment compile done in {:.1f}s".format(time.time() - t_aug), file=sys.stderr)
+    print("device-post compile done in {:.1f}s".format(time.time() - t_aug), file=sys.stderr)
 
     def step(state, key):
         key, k_aug, k_step = jax.random.split(key, 3)
-        (img_lo, img_hi), (seg_hi, _) = augment(imgs_dev, segs_dev, k_aug)
+        (img_lo, img_hi), (seg_hi, _) = post(imgs_dev, segs_dev, k_aug)
         state, losses = train_step(state, img_lo, img_hi, seg_hi, lr, k_step)
         return state, key, losses
 

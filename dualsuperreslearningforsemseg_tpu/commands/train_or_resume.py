@@ -193,14 +193,28 @@ def train_or_resume(is_resuming_training, device, distributed, mixed_precision,
                             output_hw=settings.MODEL_OUTPUT_SIZE,
                             mean=ds_settings.MEAN, std=ds_settings.STD,
                             ignore_label=ds_settings.IGNORE_CLASS_LABEL)
-    augment_fn = make_train_augment_fn(aug_cfg, ds_settings.LABEL_MAPPING_LUT)
+    # Preferred input path: the native C++ data plane decodes AND affine-warps
+    # (rotate/zoom-crop/flip/resize + label LUT) on host threads, overlapped
+    # with device compute; the device applies only elementwise photometric ops
+    # and matmul resizes.  The all-device warp is the fallback (its dynamic
+    # gathers cost ~320 ms/step on TPU — see data/augment.py docstrings).
+    from ..data.native import native_available
+    from ..data import make_host_warp_transform, make_device_post_fn
+    host_transform = None
+    if native_available():
+        host_transform = make_host_warp_transform(aug_cfg, ds_settings.LABEL_MAPPING_LUT,
+                                                  settings.RANDOM_SEED)
+        augment_fn = make_device_post_fn(aug_cfg)
+    else:
+        augment_fn = make_train_augment_fn(aug_cfg, ds_settings.LABEL_MAPPING_LUT)
     eval_fn = make_eval_transform_fn(aug_cfg, ds_settings.LABEL_MAPPING_LUT)
 
     train_loader = Loader(dataset['class'](dataset['path'], split='train'),
                           batch_size=global_batch, shuffle=True,
                           seed=settings.RANDOM_SEED, drop_last=True,
                           num_workers=num_workers,
-                          world_size=jax.process_count(), rank=jax.process_index())
+                          world_size=jax.process_count(), rank=jax.process_index(),
+                          host_transform=host_transform)
     val_loader = Loader(dataset['class'](dataset['path'], split='val'),
                         batch_size=global_batch, shuffle=False, drop_last=False,
                         num_workers=num_workers,

@@ -33,7 +33,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.resize import resize_bilinear_align_corners, resize_nearest
+from ..ops.resize import (resize_bilinear_align_corners, resize_bilinear_matmul,
+                          resize_nearest)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -47,6 +48,11 @@ class AugmentConfig:
     blur_p: float = 0.5
     blur_sigma: Tuple[float, float] = (0.1, 2.0)   # torchvision GaussianBlur default
     grayscale_p: float = 0.1
+    # Color jitter (parity with the reference's JointColorJitter component,
+    # /root/reference/models/transforms/JointColorJitter.py:58-101 —
+    # commented out of its training pipeline, train_or_resume.py:131, so
+    # disabled by default here too).  0 disables each sub-op.
+    color_jitter: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0)
     mean: Tuple[float, float, float] = (0.28690, 0.32513, 0.28389)
     std: Tuple[float, float, float] = (0.17614, 0.18099, 0.17772)
     ignore_label: int = 255
@@ -160,6 +166,54 @@ def _gaussian_blur3(img, sigma):
     return pad_w[:, :-2] * k[0] + pad_w[:, 1:-1] * k[1] + pad_w[:, 2:] * k[2]
 
 
+def _color_jitter(img, key, cfg: AugmentConfig):
+    """brightness/contrast/saturation/hue with random strengths, applied in a
+    random order like torchvision ColorJitter; hue via the reference's RGB
+    rotation-matrix shortcut (JointColorJitter.py:90-100)."""
+    b, c, s, h = cfg.color_jitter
+    k_perm, k_b, k_c, k_s, k_h = jax.random.split(key, 5)
+    fb = jax.random.uniform(k_b, (), minval=max(0.0, 1 - b), maxval=1 + b)
+    fc = jax.random.uniform(k_c, (), minval=max(0.0, 1 - c), maxval=1 + c)
+    fs = jax.random.uniform(k_s, (), minval=max(0.0, 1 - s), maxval=1 + s)
+    fh = jax.random.uniform(k_h, (), minval=-h, maxval=h)
+
+    def gray_of(x):
+        return (0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2])[..., None]
+
+    def op_brightness(x):
+        return jnp.clip(x * fb, 0.0, 1.0) if b else x
+
+    def op_contrast(x):
+        if not c:
+            return x
+        mean_gray = gray_of(x).mean()
+        return jnp.clip((x - mean_gray) * fc + mean_gray, 0.0, 1.0)
+
+    def op_saturation(x):
+        if not s:
+            return x
+        return jnp.clip((x - gray_of(x)) * fs + gray_of(x), 0.0, 1.0)
+
+    def op_hue(x):
+        if not h:
+            return x
+        angle = fh * 2.0 * np.pi
+        cosA, sinA = jnp.cos(angle), jnp.sin(angle)
+        third, sq3 = 1.0 / 3.0, float(np.sqrt(1.0 / 3.0))
+        m = jnp.stack([
+            jnp.stack([cosA + (1 - cosA) * third, third * (1 - cosA) - sq3 * sinA, third * (1 - cosA) + sq3 * sinA]),
+            jnp.stack([third * (1 - cosA) + sq3 * sinA, cosA + third * (1 - cosA), third * (1 - cosA) - sq3 * sinA]),
+            jnp.stack([third * (1 - cosA) - sq3 * sinA, third * (1 - cosA) + sq3 * sinA, cosA + third * (1 - cosA)]),
+        ])
+        return jnp.clip(jnp.einsum('hwc,cd->hwd', x, m), 0.0, 1.0)
+
+    ops = [op_brightness, op_contrast, op_saturation, op_hue]
+    order = jax.random.permutation(k_perm, 4)
+    for slot in range(4):
+        img = jax.lax.switch(order[slot], ops, img)
+    return img
+
+
 def make_train_augment_fn(cfg: AugmentConfig, label_lut: np.ndarray):
     """Returns jitted fn: (images_u8 (B,H0,W0,3), segs_u8 (B,H0,W0), key) ->
     ((img_lo, img_hi), (seg_hi, seg_lo)) matching the reference's
@@ -171,13 +225,16 @@ def make_train_augment_fn(cfg: AugmentConfig, label_lut: np.ndarray):
 
     def one_sample(img_u8, seg_u8, key):
         src_hw = img_u8.shape[:2]
-        k_aff, k_blur_p, k_blur_s, k_gray = jax.random.split(key, 4)
+        k_aff, k_blur_p, k_blur_s, k_gray, k_jit = jax.random.split(key, 5)
         matrix = _sample_affine(k_aff, src_hw, cfg.output_hw, cfg)
 
         img = img_u8.astype(jnp.float32) / 255.0
         img_hi = _warp_bilinear(img, matrix, cfg.output_hw, fill=0.0)
         seg_raw = _warp_nearest(seg_u8, matrix, cfg.output_hw, fill=255)
         seg_hi = jnp.take(lut, seg_raw.astype(jnp.int32), axis=0).astype(jnp.int32)
+
+        if any(cfg.color_jitter):
+            img_hi = _color_jitter(img_hi, k_jit, cfg)
 
         do_blur = jax.random.bernoulli(k_blur_p, cfg.blur_p)
         sigma = jax.random.uniform(k_blur_s, (), minval=cfg.blur_sigma[0], maxval=cfg.blur_sigma[1])
@@ -201,6 +258,99 @@ def make_train_augment_fn(cfg: AugmentConfig, label_lut: np.ndarray):
     return augment
 
 
+def sample_affine_matrices_np(rng: np.random.Generator, n: int, src_hw, out_hw,
+                              cfg: AugmentConfig) -> np.ndarray:
+    """Numpy mirror of :func:`_sample_affine` for the host-warp path: (n,2,3)
+    matrices composing h-flip, out->src scaling, zoom-crop and rotation."""
+    h0, w0 = src_hw
+    oh, ow = out_hw
+    angle = rng.uniform(-cfg.degrees, cfg.degrees, n) * (np.pi / 180.0)
+    scale = rng.uniform(cfg.min_scale, cfg.max_scale, n)
+    crop_w = w0 / scale
+    crop_h = h0 / scale
+    crop_x = rng.uniform(0.0, 1.0, n) * (w0 - crop_w)
+    crop_y = rng.uniform(0.0, 1.0, n) * (h0 - crop_h)
+    flip = rng.random(n) < cfg.hflip_p
+
+    sx_scale = crop_w / ow
+    sy_scale = crop_h / oh
+    a0 = np.where(flip, -sx_scale, sx_scale)
+    b0 = np.where(flip, crop_x + (ow - 0.5) * sx_scale - 0.5,
+                  crop_x + 0.5 * sx_scale - 0.5)
+    a1 = sy_scale
+    b1 = crop_y + 0.5 * sy_scale - 0.5
+
+    cx, cy = (w0 - 1) / 2.0, (h0 - 1) / 2.0
+    cos, sin = np.cos(angle), np.sin(angle)
+    mats = np.empty((n, 2, 3), np.float32)
+    mats[:, 0, 0] = cos * a0
+    mats[:, 0, 1] = -sin * a1
+    mats[:, 0, 2] = cos * (b0 - cx) - sin * (b1 - cy) + cx
+    mats[:, 1, 0] = sin * a0
+    mats[:, 1, 1] = cos * a1
+    mats[:, 1, 2] = sin * (b0 - cx) + cos * (b1 - cy) + cy
+    return mats
+
+
+def make_host_warp_transform(cfg: AugmentConfig, label_lut: np.ndarray, seed: int):
+    """Host-side warp for the Loader's decode threads: samples per-batch
+    affine matrices (deterministic in (seed, epoch, batch)) and runs the
+    native C++ bilinear/nearest warp with fused label LUT.
+
+    Rationale: profiling the all-device augment showed its dynamic gathers
+    cost ~320 ms/step on TPU (4M-row gathers run at ~20M elem/s while the MXU
+    idles); the same warp is ~10 ms on host threads and overlaps with device
+    compute through the loader's prefetch."""
+    from .native import warp_pair_batch
+
+    def transform(epoch, batch_index, imgs_u8, segs_u8):
+        r = np.random.default_rng(np.random.SeedSequence([seed, epoch, batch_index]))
+        mats = sample_affine_matrices_np(r, imgs_u8.shape[0], imgs_u8.shape[1:3],
+                                         cfg.output_hw, cfg)
+        return warp_pair_batch(imgs_u8, segs_u8, mats, cfg.output_hw, lut=label_lut)
+
+    return transform
+
+
+def make_device_post_fn(cfg: AugmentConfig):
+    """Device-side tail of the host-warp path: photometric ops + normalize +
+    the model-input downscale, built exclusively from elementwise math and
+    matmul resizes — zero gathers in the TPU program."""
+    mean = jnp.asarray(cfg.mean, jnp.float32)
+    std = jnp.asarray(cfg.std, jnp.float32)
+    oh, ow = cfg.output_hw
+    ih, iw = cfg.input_hw
+    exact2x = (oh == 2 * ih and ow == 2 * iw)
+
+    def one_sample(img, key):
+        k_blur_p, k_blur_s, k_gray, k_jit = jax.random.split(key, 4)
+        if any(cfg.color_jitter):
+            img = _color_jitter(img, k_jit, cfg)
+        do_blur = jax.random.bernoulli(k_blur_p, cfg.blur_p)
+        sigma = jax.random.uniform(k_blur_s, (), minval=cfg.blur_sigma[0],
+                                   maxval=cfg.blur_sigma[1])
+        img = jnp.where(do_blur, _gaussian_blur3(img, sigma), img)
+        do_gray = jax.random.bernoulli(k_gray, cfg.grayscale_p)
+        gray = (0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2])[..., None]
+        img = jnp.where(do_gray, jnp.broadcast_to(gray, img.shape), img)
+        return (img - mean) / std
+
+    @jax.jit
+    def post(imgs_w_u8, segs_w_u8, key):
+        img = imgs_w_u8.astype(jnp.float32) / 255.0
+        keys = jax.random.split(key, imgs_w_u8.shape[0])
+        img_hi = jax.vmap(one_sample)(img, keys)
+        img_lo = resize_bilinear_matmul(img_hi, cfg.input_hw)
+        seg_hi = segs_w_u8.astype(jnp.int32)
+        if exact2x:
+            seg_lo = seg_hi[:, ::2, ::2]
+        else:
+            seg_lo = resize_nearest(seg_hi, cfg.input_hw, spatial_axes=(-2, -1))
+        return (img_lo, img_hi), (seg_hi, seg_lo)
+
+    return post
+
+
 def make_eval_transform_fn(cfg: AugmentConfig, label_lut: np.ndarray):
     """Exact reference val/test pipeline (train_or_resume.py:156-158):
     LUT label mapping -> normalize -> JointScaledImage (align-corners bilinear
@@ -215,8 +365,10 @@ def make_eval_transform_fn(cfg: AugmentConfig, label_lut: np.ndarray):
         img = images_u8.astype(jnp.float32) / 255.0
         img = (img - mean) / std
         seg = jnp.take(lut, segs_u8.astype(jnp.int32), axis=0).astype(jnp.int32)
-        img_lo = resize_bilinear_align_corners(img, cfg.input_hw)
-        img_hi = resize_bilinear_align_corners(img, cfg.output_hw)
+        # matmul-form resizes are numerically identical to the gather form
+        # (same two-term lerp) but avoid TPU dynamic-gather slow paths.
+        img_lo = resize_bilinear_matmul(img, cfg.input_hw)
+        img_hi = resize_bilinear_matmul(img, cfg.output_hw)
         seg_hi = resize_nearest(seg, cfg.output_hw, spatial_axes=(-2, -1))
         return (img_lo, img_hi), (seg_hi, seg)
 

@@ -62,6 +62,14 @@ def get_lib():
             ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
             ctypes.c_char_p, ctypes.c_int]
+        if hasattr(lib, 'dp_warp_pair_batch'):
+            lib.dp_warp_pair_batch.restype = ctypes.c_int
+            lib.dp_warp_pair_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_char_p, ctypes.c_int]
         _lib = lib
         return lib
 
@@ -97,3 +105,42 @@ def decode_pair_batch(img_paths, seg_paths, size_hw, lut=None, threads=8):
     if err != 0:
         raise RuntimeError("native decode failed with code {}".format(err))
     return imgs, segs
+
+
+def warp_pair_batch(imgs, segs, matrices, out_hw, lut=None, threads=8):
+    """Affine-warp a batch on the host: bilinear for images (fill 0), nearest
+    + optional LUT for labels (fill 255).
+
+    Args:
+      imgs: (n, H0, W0, 3) u8; segs: (n, H0, W0) u8.
+      matrices: (n, 2, 3) f32 mapping output pixel -> source coords.
+      out_hw: (OH, OW).
+    Returns (imgs_w (n,OH,OW,3) u8, segs_w (n,OH,OW) u8).
+    """
+    lib = get_lib()
+    assert lib is not None and hasattr(lib, 'dp_warp_pair_batch'), \
+        "native warp not available"
+    imgs = np.ascontiguousarray(imgs, dtype=np.uint8)
+    segs = np.ascontiguousarray(segs, dtype=np.uint8)
+    n, h0, w0 = segs.shape
+    oh, ow = out_hw
+    mats = np.ascontiguousarray(matrices, dtype=np.float32).reshape(n * 6)
+    imgs_out = np.empty((n, oh, ow, 3), dtype=np.uint8)
+    segs_out = np.empty((n, oh, ow), dtype=np.uint8)
+    lut_arg = None
+    if lut is not None:
+        lut = np.ascontiguousarray(lut, dtype=np.uint8)
+        assert lut.size == 256
+        lut_arg = lut.tobytes()
+    err = lib.dp_warp_pair_batch(
+        imgs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        segs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n, h0, w0,
+        mats.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        oh, ow,
+        imgs_out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        segs_out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        lut_arg, threads)
+    if err != 0:
+        raise RuntimeError("native warp failed with code {}".format(err))
+    return imgs_out, segs_out

@@ -58,7 +58,10 @@ class Loader:
 
     def __init__(self, dataset, batch_size, shuffle=True, seed=54321,
                  drop_last=True, num_workers=4, world_size=1, rank=0,
-                 prefetch=2, use_native=True):
+                 prefetch=2, use_native=True, host_transform=None):
+        # host_transform(epoch, batch_index, imgs_u8, segs_u8) -> (imgs, segs)
+        # runs inside the decode thread pool (e.g. the native affine warp).
+        self.host_transform = host_transform
         self.dataset = dataset
         self.batch_size = batch_size
         self.sampler = ShardedSampler(len(dataset), world_size, rank, shuffle,
@@ -92,36 +95,42 @@ class Loader:
         nb = len(idx) // self.batch_size if self.drop_last else \
             (len(idx) + self.batch_size - 1) // self.batch_size
         for b in range(nb):
-            yield idx[b * self.batch_size:(b + 1) * self.batch_size]
+            yield b, idx[b * self.batch_size:(b + 1) * self.batch_size]
 
     def __iter__(self):
         out_q = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        epoch = self.epoch
 
-        def decode_batch(batch_idx):
+        def decode_batch(batch_number, batch_idx):
+            imgs = segs = None
             if self._native_hw is not None:
                 from .native import decode_pair_batch
                 img_paths = [self.dataset.pairs[int(i)][0] for i in batch_idx]
                 seg_paths = [self.dataset.pairs[int(i)][1] for i in batch_idx]
                 try:
-                    return decode_pair_batch(img_paths, seg_paths, self._native_hw,
-                                             threads=max(2, self.num_workers))
+                    imgs, segs = decode_pair_batch(img_paths, seg_paths, self._native_hw,
+                                                   threads=max(2, self.num_workers))
                 except RuntimeError:
-                    pass  # fall through to PIL
-            imgs, segs = [], []
-            for i in batch_idx:
-                img, seg = self.dataset[int(i)]
-                imgs.append(img)
-                segs.append(seg)
-            return np.stack(imgs), np.stack(segs)
+                    imgs = segs = None  # fall through to PIL
+            if imgs is None:
+                imgs, segs = [], []
+                for i in batch_idx:
+                    img, seg = self.dataset[int(i)]
+                    imgs.append(img)
+                    segs.append(seg)
+                imgs, segs = np.stack(imgs), np.stack(segs)
+            if self.host_transform is not None:
+                imgs, segs = self.host_transform(epoch, batch_number, imgs, segs)
+            return imgs, segs
 
         def producer():
             with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
                 futures = []
-                for batch_idx in self._batches_indices():
+                for batch_number, batch_idx in self._batches_indices():
                     if stop.is_set():
                         break
-                    futures.append(pool.submit(decode_batch, batch_idx))
+                    futures.append(pool.submit(decode_batch, batch_number, batch_idx))
                     # Bound the number of in-flight decode jobs.
                     while len(futures) >= self.num_workers + self.prefetch:
                         out_q.put(futures.pop(0).result())

@@ -166,4 +166,80 @@ int dp_decode_pair_batch(const char** img_paths, const char** seg_paths,
   return err.load();
 }
 
+// Affine-warp n (image, label) pairs: bilinear for images (fill 0), nearest
+// for labels (fill 255, then LUT).  ``mats`` holds n row-major 2x3 matrices
+// mapping OUTPUT pixel coords to SOURCE coords (center convention), matching
+// data/augment.py's _sample_affine composition.  This removes the warp's
+// dynamic gathers from the TPU program — profiling showed each 4M-row gather
+// costs ~180 ms on-device while the MXU sits idle.
+int dp_warp_pair_batch(const uint8_t* imgs_in, const uint8_t* segs_in, int n,
+                       int h0, int w0, const float* mats, int oh, int ow,
+                       uint8_t* imgs_out, uint8_t* segs_out,
+                       const uint8_t* lut, int threads) {
+  if (threads < 1) threads = 1;
+  std::atomic<int> next{0};
+  const size_t in_img = static_cast<size_t>(h0) * w0 * 3;
+  const size_t in_seg = static_cast<size_t>(h0) * w0;
+  const size_t out_img = static_cast<size_t>(oh) * ow * 3;
+  const size_t out_seg = static_cast<size_t>(oh) * ow;
+
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      const uint8_t* src = imgs_in + i * in_img;
+      const uint8_t* sseg = segs_in + i * in_seg;
+      uint8_t* dst = imgs_out + i * out_img;
+      uint8_t* dseg = segs_out + i * out_seg;
+      const float m00 = mats[i * 6 + 0], m01 = mats[i * 6 + 1],
+                  m02 = mats[i * 6 + 2], m10 = mats[i * 6 + 3],
+                  m11 = mats[i * 6 + 4], m12 = mats[i * 6 + 5];
+      for (int y = 0; y < oh; ++y) {
+        const float base_x = m01 * y + m02;
+        const float base_y = m11 * y + m12;
+        for (int x = 0; x < ow; ++x) {
+          const float sx = m00 * x + base_x;
+          const float sy = m10 * x + base_y;
+          uint8_t* px = dst + (static_cast<size_t>(y) * ow + x) * 3;
+          // bilinear image sample
+          if (sx >= 0.f && sx <= w0 - 1.f && sy >= 0.f && sy <= h0 - 1.f) {
+            int x0 = static_cast<int>(sx);
+            int y0 = static_cast<int>(sy);
+            int x1 = x0 + 1 < w0 ? x0 + 1 : w0 - 1;
+            int y1 = y0 + 1 < h0 ? y0 + 1 : h0 - 1;
+            float fx = sx - x0, fy = sy - y0;
+            const uint8_t* p00 = src + (static_cast<size_t>(y0) * w0 + x0) * 3;
+            const uint8_t* p01 = src + (static_cast<size_t>(y0) * w0 + x1) * 3;
+            const uint8_t* p10 = src + (static_cast<size_t>(y1) * w0 + x0) * 3;
+            const uint8_t* p11 = src + (static_cast<size_t>(y1) * w0 + x1) * 3;
+            const float w00 = (1 - fx) * (1 - fy), w01 = fx * (1 - fy);
+            const float w10 = (1 - fx) * fy, w11 = fx * fy;
+            for (int c = 0; c < 3; ++c) {
+              float v = w00 * p00[c] + w01 * p01[c] + w10 * p10[c] + w11 * p11[c];
+              px[c] = static_cast<uint8_t>(v + 0.5f);
+            }
+          } else {
+            px[0] = px[1] = px[2] = 0;
+          }
+          // nearest label sample + LUT
+          int xr = static_cast<int>(sx + 0.5f);
+          int yr = static_cast<int>(sy + 0.5f);
+          uint8_t label = 255;
+          if (xr >= 0 && xr < w0 && yr >= 0 && yr < h0 && sx >= -0.5f && sy >= -0.5f) {
+            label = sseg[static_cast<size_t>(yr) * w0 + xr];
+          }
+          dseg[static_cast<size_t>(y) * ow + x] = lut ? lut[label] : label;
+        }
+      }
+    }
+  };
+
+  std::vector<std::thread> pool;
+  int nt = threads < n ? threads : n;
+  pool.reserve(nt);
+  for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
+  for (auto& t : pool) t.join();
+  return 0;
+}
+
 }  // extern "C"

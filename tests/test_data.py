@@ -129,3 +129,52 @@ def test_loader_epoch_reshuffles():
     loader.set_epoch(2)
     b2 = next(iter(loader))[0]
     assert not np.array_equal(b1, b2)
+
+
+def test_color_jitter_component(rng):
+    """Reference-parity color jitter: bounded output, identity when factors
+    are 0, changes pixels when enabled (JointColorJitter.py:58-101)."""
+    import jax
+    from dualsuperreslearningforsemseg_tpu.data.augment import _color_jitter
+    cfg = AugmentConfig(color_jitter=(0.4, 0.4, 0.4, 0.4))
+    img = jnp.asarray(rng.random((16, 24, 3), dtype=np.float32))
+    out = _color_jitter(img, jax.random.PRNGKey(0), cfg)
+    assert out.shape == img.shape
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
+    assert not np.allclose(np.asarray(out), np.asarray(img))
+
+    cfg0 = AugmentConfig(color_jitter=(0.0, 0.0, 0.0, 0.0))
+    out0 = _color_jitter(img, jax.random.PRNGKey(0), cfg0)
+    np.testing.assert_array_equal(np.asarray(out0), np.asarray(img))
+
+
+def test_color_jitter_hue_matches_torch_rotation(rng):
+    """Hue rotation must match the reference's RGB rotation-matrix math."""
+    import jax
+    from dualsuperreslearningforsemseg_tpu.data.augment import _color_jitter
+    img = rng.random((8, 8, 3)).astype(np.float32)
+    hue_factor = 0.23
+    angle = hue_factor * 2.0 * np.pi
+    cosA, sinA = np.cos(angle), np.sin(angle)
+    third, sq3 = 1.0 / 3.0, np.sqrt(1.0 / 3.0)
+    m = np.array([
+        [cosA + (1 - cosA) * third, third * (1 - cosA) - sq3 * sinA, third * (1 - cosA) + sq3 * sinA],
+        [third * (1 - cosA) + sq3 * sinA, cosA + third * (1 - cosA), third * (1 - cosA) - sq3 * sinA],
+        [third * (1 - cosA) - sq3 * sinA, third * (1 - cosA) + sq3 * sinA, cosA + third * (1 - cosA)]])
+    expected = np.clip(img @ m, 0.0, 1.0)
+    # drive through the full op with only hue enabled and a pinned factor
+    import dualsuperreslearningforsemseg_tpu.data.augment as aug_mod
+    orig_uniform = jax.random.uniform
+    def pinned_uniform(key, shape=(), **kw):
+        if kw.get('minval') == -0.5 and kw.get('maxval') == 0.5:
+            return jnp.float32(hue_factor)
+        return orig_uniform(key, shape, **kw)
+    aug_mod.jax.random = jax.random  # no-op; use cfg with h=0.5 then pin
+    cfg = AugmentConfig(color_jitter=(0.0, 0.0, 0.0, 0.5))
+    jax_random_uniform = jax.random.uniform
+    try:
+        jax.random.uniform = pinned_uniform
+        out = aug_mod._color_jitter(jnp.asarray(img), jax.random.PRNGKey(1), cfg)
+    finally:
+        jax.random.uniform = jax_random_uniform
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-4, atol=1e-5)

@@ -64,3 +64,55 @@ def test_native_error_on_wrong_size(tree):
     ds = CityscapesDataset(tree, split='train')
     with pytest.raises(RuntimeError):
         decode_pair_batch([ds.pairs[0][0]], [ds.pairs[0][1]], (32, 32))
+
+
+def test_native_warp_identity(tree):
+    """Identity matrix -> exact passthrough (bilinear at integer coords)."""
+    from dualsuperreslearningforsemseg_tpu.data.native import warp_pair_batch
+    ds = CityscapesDataset(tree, split='train')
+    img, seg = ds[0]
+    ident = np.array([[[1, 0, 0], [0, 1, 0]]], np.float32)
+    iw, sw = warp_pair_batch(img[None], seg[None], ident, (64, 128))
+    np.testing.assert_array_equal(iw[0], img)
+    np.testing.assert_array_equal(sw[0], seg)
+
+
+def test_native_warp_matches_device_warp(tree):
+    """Host C++ warp vs the jitted device warp on a random affine: labels must
+    agree except at bilinear-boundary ties; images within rounding."""
+    import jax
+    import jax.numpy as jnp
+    from dualsuperreslearningforsemseg_tpu.data.native import warp_pair_batch
+    from dualsuperreslearningforsemseg_tpu.data.augment import (_warp_bilinear,
+                                                                _warp_nearest)
+    ds = CityscapesDataset(tree, split='train')
+    img, seg = ds[0]
+    # NB: tie-free coefficients — exact .5 source coords round differently
+    # (C++ half-up vs jnp banker's rounding), which is fine for random
+    # augmentation but would fail an equality test.
+    mat = np.array([[0.913, 0.047, 3.171], [-0.0413, 1.0931, -2.137]], np.float32)
+    iw, sw = warp_pair_batch(img[None], seg[None], mat[None], (64, 128))
+
+    dimg = np.asarray(_warp_bilinear(jnp.asarray(img, jnp.float32) / 255.0,
+                                     jnp.asarray(mat), (64, 128), 0.0)) * 255.0
+    dseg = np.asarray(_warp_nearest(jnp.asarray(seg), jnp.asarray(mat), (64, 128), 255))
+    img_diff = np.abs(iw[0].astype(np.float32) - dimg)
+    assert np.percentile(img_diff, 99) <= 1.0, img_diff.max()
+    seg_agree = (sw[0] == dseg).mean()
+    assert seg_agree > 0.99, seg_agree
+
+
+def test_host_warp_transform_deterministic(tree):
+    from dualsuperreslearningforsemseg_tpu.data import (make_host_warp_transform,
+                                                        AugmentConfig)
+    ds = CityscapesDataset(tree, split='train')
+    img, seg = ds[0]
+    cfg = AugmentConfig(input_hw=(32, 64), output_hw=(64, 128))
+    tf = make_host_warp_transform(cfg, cs.LABEL_MAPPING_LUT, seed=1)
+    a = tf(3, 0, img[None], seg[None])
+    b = tf(3, 0, img[None], seg[None])
+    c = tf(4, 0, img[None], seg[None])
+    np.testing.assert_array_equal(a[0], b[0])
+    assert not np.array_equal(a[0], c[0])
+    # label LUT applied: values in train-id space
+    assert set(np.unique(a[1]).tolist()) <= set(range(19)) | {255}
