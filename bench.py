@@ -22,7 +22,7 @@ import time
 import numpy as np
 
 REF_IMAGES_PER_SEC = 12.0
-BATCH = 8
+BATCH = 16
 WARMUP_STEPS = 3
 MEASURE_STEPS = 20
 
