@@ -102,8 +102,19 @@ def main():
 
     t0 = time.time()
     for i in range(WARMUP_STEPS):
-        state, key, losses = step(state, key)
-        jax.block_until_ready(losses)
+        # The remote-compile service occasionally drops a response mid-body;
+        # re-invoking retries the compile (the persistent cache keeps any
+        # successfully compiled pieces).
+        for attempt in range(3):
+            try:
+                state, key, losses = step(state, key)
+                jax.block_until_ready(losses)
+                break
+            except Exception as exc:  # pragma: no cover - infra flake path
+                print("warmup attempt {} failed: {}".format(attempt, exc), file=sys.stderr)
+                if attempt == 2:
+                    raise
+                time.sleep(20)
         print("warmup step {} done at {:.1f}s".format(i, time.time() - t0), file=sys.stderr)
 
     start = time.time()
