@@ -66,17 +66,18 @@ def main():
                        batch_stats=replicate(variables['batch_stats'], mesh),
                        momentum=replicate(sgd_init(variables['params']), mesh))
 
-    train_step = make_train_step(model, stage=3, w1=0.1, w2=1.0, momentum=0.9,
-                                 weight_decay=0.0005,
-                                 ignore_label=cs.IGNORE_CLASS_LABEL, mesh=mesh)
     aug_cfg = AugmentConfig(input_hw=input_hw, output_hw=output_hw,
                             mean=cs.MEAN, std=cs.STD)
     # Mirrors the production path: the host (native C++ data plane) decodes
     # and affine-warps to output_hw overlapped with device compute; the
-    # device runs the photometric tail + the fused train step.  Pre-staged
-    # warped uint8 batches stand in for the loader's output.
+    # photometric tail is FUSED into the train step (one XLA program per
+    # step).  Pre-staged warped uint8 batches stand in for the loader.
     from dualsuperreslearningforsemseg_tpu.data import make_device_post_fn
     post = make_device_post_fn(aug_cfg)
+    train_step = make_train_step(model, stage=3, w1=0.1, w2=1.0, momentum=0.9,
+                                 weight_decay=0.0005,
+                                 ignore_label=cs.IGNORE_CLASS_LABEL, mesh=mesh,
+                                 post_fn=post)
 
     rng = np.random.default_rng(0)
     global_batch = BATCH * n_chips
@@ -89,15 +90,9 @@ def main():
     key = jax.random.PRNGKey(0)
     lr = jnp.float32(0.006)
 
-    t_aug = time.time()
-    (img_lo0, _), _ = post(imgs_dev, segs_dev, key)
-    jax.block_until_ready(img_lo0)
-    print("device-post compile done in {:.1f}s".format(time.time() - t_aug), file=sys.stderr)
-
     def step(state, key):
-        key, k_aug, k_step = jax.random.split(key, 3)
-        (img_lo, img_hi), (seg_hi, _) = post(imgs_dev, segs_dev, k_aug)
-        state, losses = train_step(state, img_lo, img_hi, seg_hi, lr, k_step)
+        key, k_step = jax.random.split(key)
+        state, losses = train_step(state, imgs_dev, segs_dev, lr, k_step)
         return state, key, losses
 
     t0 = time.time()

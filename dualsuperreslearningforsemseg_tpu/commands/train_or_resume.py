@@ -178,12 +178,6 @@ def train_or_resume(is_resuming_training, device, distributed, mixed_precision,
                              end_learning_rate=end_learning_rate, power=poly_power,
                              last_epoch=(starting_epoch - 1))
 
-    train_step = make_train_step(model, stage, w1, w2, momentum, weights_decay,
-                                 ds_settings.IGNORE_CLASS_LABEL, freeze_batch_norm,
-                                 mesh, dry_run, ds_settings.NUM_CLASSES)
-    eval_step = make_eval_step(model, stage, w1, w2, ds_settings.NUM_CLASSES,
-                               ds_settings.IGNORE_CLASS_LABEL, dry_run)
-
     # Data
     os.makedirs(dataset['path'], exist_ok=True)
     if len(dataset['class'](dataset['path'], split='train')) == 0 and not dry_run:
@@ -204,10 +198,19 @@ def train_or_resume(is_resuming_training, device, distributed, mixed_precision,
     if native_available():
         host_transform = make_host_warp_transform(aug_cfg, ds_settings.LABEL_MAPPING_LUT,
                                                   settings.RANDOM_SEED)
-        augment_fn = make_device_post_fn(aug_cfg)
+        post_fn = make_device_post_fn(aug_cfg)
+        augment_fn = None  # photometric tail is fused into the train step
     else:
+        post_fn = None
         augment_fn = make_train_augment_fn(aug_cfg, ds_settings.LABEL_MAPPING_LUT)
     eval_fn = make_eval_transform_fn(aug_cfg, ds_settings.LABEL_MAPPING_LUT)
+
+    train_step = make_train_step(model, stage, w1, w2, momentum, weights_decay,
+                                 ds_settings.IGNORE_CLASS_LABEL, freeze_batch_norm,
+                                 mesh, dry_run, ds_settings.NUM_CLASSES,
+                                 post_fn=post_fn)
+    eval_step = make_eval_step(model, stage, w1, w2, ds_settings.NUM_CLASSES,
+                               ds_settings.IGNORE_CLASS_LABEL, dry_run)
 
     train_loader = Loader(dataset['class'](dataset['path'], split='train'),
                           batch_size=global_batch, shuffle=True,
@@ -441,9 +444,15 @@ def _train_epoch(state, train_step, loader, augment_fn, mesh, epoch, rng, lr,
             rng, aug_rng, step_rng = jax.random.split(rng, 3)
             imgs_dev = jax.make_array_from_process_local_data(sharding, imgs_u8)
             segs_dev = jax.make_array_from_process_local_data(sharding3, segs_u8)
-            (img_lo, img_hi), (seg_hi, _) = augment_fn(imgs_dev, segs_dev, aug_rng)
-            state, losses = train_step(state, img_lo, img_hi, seg_hi,
-                                       jnp.float32(lr), step_rng)
+            if augment_fn is None:
+                # Host-warp path: the loader delivered warped uint8; the
+                # photometric tail is fused inside the train step.
+                state, losses = train_step(state, imgs_dev, segs_dev,
+                                           jnp.float32(lr), step_rng)
+            else:
+                (img_lo, img_hi), (seg_hi, _) = augment_fn(imgs_dev, segs_dev, aug_rng)
+                state, losses = train_step(state, img_lo, img_hi, seg_hi,
+                                           jnp.float32(lr), step_rng)
 
             if pending is not None:
                 _update_meters(pending, CE_avg, MSE_avg, FA_avg, Total_avg)

@@ -40,9 +40,16 @@ class TrainState(NamedTuple):
 def make_train_step(model, stage: int, w1: float, w2: float, momentum: float,
                     weight_decay: float, ignore_label: int = 255,
                     freeze_batch_norm: bool = False, mesh=None, dry_run: bool = False,
-                    num_classes: int = 19):
+                    num_classes: int = 19, post_fn=None):
     """Returns jitted fn(state, img_lo, img_hi, seg, lr, rng) ->
-    (state, losses-dict of f32 scalars)."""
+    (state, losses-dict of f32 scalars).
+
+    With ``post_fn`` (the device photometric tail from
+    data.augment.make_device_post_fn, passed un-jitted), the returned step
+    instead takes raw warped uint8 batches — fn(state, imgs_u8, segs_u8, lr,
+    rng) — fusing augmentation tail + forward + backward + update into ONE
+    XLA program (one dispatch per step; the normalize fuses into the first
+    convolution's prologue)."""
 
     def loss_fn(params, batch_stats, img_lo, img_hi, seg, rng):
         variables = {'params': params, 'batch_stats': batch_stats}
@@ -69,7 +76,7 @@ def make_train_step(model, stage: int, w1: float, w2: float, momentum: float,
         total = ce + mse + fa
         return total, (new_stats, ce, mse, fa)
 
-    def train_step(state: TrainState, img_lo, img_hi, seg, lr, rng):
+    def train_core(state: TrainState, img_lo, img_hi, seg, lr, rng):
         (total, (new_stats, ce, mse, fa)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats,
                                    img_lo, img_hi, seg, rng)
@@ -81,7 +88,15 @@ def make_train_step(model, stage: int, w1: float, w2: float, momentum: float,
         losses = {'CE': ce, 'MSE': mse, 'FA': fa, 'Total': total}
         return TrainState(new_params, new_stats, new_buf), losses
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    if post_fn is None:
+        return jax.jit(train_core, donate_argnums=(0,))
+
+    def fused_step(state: TrainState, imgs_u8, segs_u8, lr, rng):
+        rng_post, rng_step = jax.random.split(rng)
+        (img_lo, img_hi), (seg_hi, _) = post_fn(imgs_u8, segs_u8, rng_post)
+        return train_core(state, img_lo, img_hi, seg_hi, lr, rng_step)
+
+    return jax.jit(fused_step, donate_argnums=(0,))
 
 
 def make_eval_step(model, stage: int, w1: float, w2: float, num_classes: int,
