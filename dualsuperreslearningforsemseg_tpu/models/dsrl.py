@@ -37,7 +37,9 @@ from .norm import TorchBatchNorm
 from .init import (kaiming_normal_fan_out_conv, kaiming_normal_fan_out_convtranspose,
                    torch_conv_bias_init)
 from ..ops.resize import resize_bilinear_matmul
-from ..ops.conv import conv_transpose_2x2_stride2, pixel_shuffle
+from ..ops.conv import (conv_transpose_2x2_stride2,
+                        conv_transpose_2x2_stride2_grouped,
+                        ungroup_2x2, pixel_shuffle)
 from ..consts import NUM_RGB_CHANNELS
 
 
@@ -54,13 +56,17 @@ def _conv(features, kernel, stride=1, padding=0, use_bias=False, in_channels=Non
 
 class ConvTranspose2x2(nn.Module):
     """torch.nn.ConvTranspose2d(in, out, kernel_size=2, stride=2) with the
-    weight stored in torch IOHW layout, evaluated as a dense matmul."""
+    weight stored in torch IOHW layout, evaluated as a dense matmul.
+
+    ``grouped=True`` (or a 5-D grouped input) keeps the output in the
+    space-to-depth grouped layout — see ops/conv.py — avoiding the
+    full-resolution interleave copies during training."""
     in_channels: int
     out_channels: int
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, grouped: bool = False):
         w = self.param('weight', kaiming_normal_fan_out_convtranspose,
                        (self.in_channels, self.out_channels, 2, 2), jnp.float32)
         b = None
@@ -69,7 +75,10 @@ class ConvTranspose2x2(nn.Module):
             b = self.param('bias', torch_conv_bias_init(self.out_channels * 4),
                            (self.out_channels,), jnp.float32)
         w = w.astype(x.dtype)
-        return conv_transpose_2x2_stride2(x, w, None if b is None else b.astype(x.dtype))
+        b = None if b is None else b.astype(x.dtype)
+        if grouped or x.ndim == 5:
+            return conv_transpose_2x2_stride2_grouped(x, w, b)
+        return conv_transpose_2x2_stride2(x, w, b)
 
 
 class FeatureExtractor(nn.Module):
@@ -97,7 +106,8 @@ class SSSRDecoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool, freeze_bn: bool = False):
+    def __call__(self, x, train: bool, freeze_bn: bool = False,
+                 grouped: bool = False):
         use_ra = (not train) or freeze_bn
         det = not train
         y = _conv(256, 3, padding=1, name='cat_conv.0')(x)
@@ -114,13 +124,17 @@ class SSSRDecoder(nn.Module):
         h, w = y.shape[1:3]
         y = resize_bilinear_matmul(y, (2 * h, 2 * w))
         y = nn.Dropout(0.2, deterministic=det, name='upsample16_pred.1')(y)
+        # grouped=True keeps the x4 upsample in space-to-depth layout
+        # (B, H, W, 16, C) — identical math (BN stats pool over the same
+        # elements), no full-res interleave copies; callers ungroup only
+        # when a plain tensor is needed (eval/inference).
         y = ConvTranspose2x2(self.num_classes, self.num_classes, use_bias=False,
-                             name='upsample16_pred.2')(y)
+                             name='upsample16_pred.2')(y, grouped=grouped)
         y = TorchBatchNorm(self.num_classes, dtype=self.dtype, name='upsample16_pred.3')(y, use_ra)
         y = nn.relu(y)
         y = nn.Dropout(0.2, deterministic=det, name='upsample16_pred.5')(y)
         y = ConvTranspose2x2(self.num_classes, self.num_classes, use_bias=True,
-                             name='upsample16_pred.6')(y)
+                             name='upsample16_pred.6')(y, grouped=grouped)
         return y
 
 
@@ -137,12 +151,17 @@ class SISRDecoder(nn.Module):
 
 
 class FeatureTransformer(nn.Module):
-    """1x1 conv with stride 8 -> 1 channel + BN + ReLU (DSRL.py:87-95)."""
+    """1x1 conv with stride 8 -> 1 channel + BN + ReLU (DSRL.py:87-95).
+
+    ``stride`` is 8 on a plain full-res map; callers holding the grouped
+    layout pre-slice to the stride-8 pixel set and pass stride=1 — the
+    parameter shapes (and thus checkpoints) are identical either way."""
     dtype: jnp.dtype = jnp.float32
+    stride: int = 8
 
     @nn.compact
     def __call__(self, x, train: bool, freeze_bn: bool = False):
-        y = _conv(1, 1, stride=8, name='0')(x)
+        y = _conv(1, 1, stride=self.stride, name='0')(x)
         y = TorchBatchNorm(1, dtype=self.dtype, name='1')(y, (not train) or freeze_bn)
         return nn.relu(y)
 
@@ -156,18 +175,26 @@ class DSRL(nn.Module):
     backbone_layers: tuple = None  # None -> settings.BACKBONE_LAYERS
 
     @nn.compact
-    def __call__(self, x, train: bool = False, freeze_bn: bool = False) -> Tuple[jnp.ndarray, Optional[jnp.ndarray],
-                                                        Optional[jnp.ndarray], Optional[jnp.ndarray]]:
+    def __call__(self, x, train: bool = False, freeze_bn: bool = False,
+                 grouped: bool = False) -> Tuple[jnp.ndarray, Optional[jnp.ndarray],
+                                                 Optional[jnp.ndarray], Optional[jnp.ndarray]]:
         assert self.stage in (1, 2, 3), \
             "BUG CHECK: Unsupported stage {0} specified in DSRL.__init__().".format(self.stage)
         x = x.astype(self.dtype)
         cat_features = FeatureExtractor(dtype=self.dtype, backbone_layers=self.backbone_layers, name='feature_extractor')(x, train, freeze_bn)
-        sssr_output = SSSRDecoder(self.num_classes, dtype=self.dtype, name='SSSR_decoder')(cat_features, train, freeze_bn)
+        sssr_output = SSSRDecoder(self.num_classes, dtype=self.dtype, name='SSSR_decoder')(cat_features, train, freeze_bn, grouped)
 
         sisr_output = sssr_t = sisr_t = None
         if self.stage > 1:
             sisr_output = SISRDecoder(dtype=self.dtype, name='SISR_decoder')(cat_features)
             if self.stage > 2:
-                sssr_t = FeatureTransformer(dtype=self.dtype, name='SSSR_feature_transformer')(sssr_output, train, freeze_bn)
+                if grouped:
+                    # stride-8 sampling of the full-res logits == group 0
+                    # (pixel (4h, 4w)) at even grouped-grid positions.
+                    sssr_strided = sssr_output[:, ::2, ::2, 0, :]
+                    sssr_t = FeatureTransformer(dtype=self.dtype, stride=1,
+                                                name='SSSR_feature_transformer')(sssr_strided, train, freeze_bn)
+                else:
+                    sssr_t = FeatureTransformer(dtype=self.dtype, name='SSSR_feature_transformer')(sssr_output, train, freeze_bn)
                 sisr_t = FeatureTransformer(dtype=self.dtype, name='SISR_feature_transformer')(sisr_output, train, freeze_bn)
         return sssr_output, sisr_output, sssr_t, sisr_t

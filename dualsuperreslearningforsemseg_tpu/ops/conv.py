@@ -42,6 +42,62 @@ def conv_transpose_2x2_stride2(x: jnp.ndarray, weight: jnp.ndarray,
     return y
 
 
+def conv_transpose_2x2_stride2_grouped(x: jnp.ndarray, weight: jnp.ndarray,
+                                       bias: jnp.ndarray | None = None) -> jnp.ndarray:
+    """ConvTranspose2d(k=2,s=2) producing GROUPED output (B, H, W, 4, Cout)
+    where group index g = i*2 + j addresses output pixel (2h+i, 2w+j).
+
+    Mathematically identical to :func:`conv_transpose_2x2_stride2` followed by
+    a (2,2) space-to-depth — but it never materializes the interleaved
+    full-resolution layout, whose transpose copies cost ~4 ms each per step
+    at (B,512,1024,19) on v5e.  Input may itself be grouped
+    ((B, H, W, G, Cin)): each group element is an independent pixel, and the
+    output group axis composes as (2*i_prev + i_new) giving G*4 groups in the
+    (p, q) = (2i+k, 2j+l) order expected by :func:`ungroup_2x2`.
+    """
+    cin, cout = weight.shape[0], weight.shape[1]
+    wmat = jnp.transpose(weight, (0, 2, 3, 1)).reshape(cin, 4 * cout)
+    if x.ndim == 4:
+        b, h, w, _ = x.shape
+        y = jnp.einsum('bhwi,io->bhwo', x, wmat,
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+        y = y.reshape(b, h, w, 4, cout)      # group = k*2 + l
+    else:
+        b, h, w, g, _ = x.shape
+        y = jnp.einsum('bhwgi,io->bhwgo', x, wmat,
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+        # (B,H,W,G,4,C): G=(i,j) from before, 4=(k,l) new.  Compose to
+        # (2i+k, 2j+l): split both, interleave as (i,k),(j,l).
+        side = int(round(g ** 0.5))
+        y = y.reshape(b, h, w, side, side, 2, 2, cout)        # (i,j,k,l)
+        y = jnp.transpose(y, (0, 1, 2, 3, 5, 4, 6, 7))        # (i,k,j,l)
+        y = y.reshape(b, h, w, (2 * side) * (2 * side), cout)  # p*2side+q
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
+def ungroup_2x2(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, F*F, C) grouped layout -> (B, F*H, F*W, C), where group
+    index g = p*F + q addresses output pixel (F*h + p, F*w + q)."""
+    b, h, w, g, c = x.shape
+    f = int(round(g ** 0.5))
+    x = x.reshape(b, h, w, f, f, c)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(b, f * h, f * w, c)
+
+
+def group_labels(seg: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """(B, F*H, F*W) int labels -> (B, H, W, F*F) matching the grouped-logits
+    layout (group g = p*F + q <-> pixel (F*h+p, F*w+q))."""
+    b, fh, fw = seg.shape
+    f = factor
+    h, w = fh // f, fw // f
+    seg = seg.reshape(b, h, f, w, f)
+    seg = jnp.transpose(seg, (0, 1, 3, 2, 4))
+    return seg.reshape(b, h, w, f * f)
+
+
 def pixel_shuffle(x: jnp.ndarray, upscale_factor: int) -> jnp.ndarray:
     """Exact ``torch.nn.PixelShuffle(r)`` on NHWC input.
 

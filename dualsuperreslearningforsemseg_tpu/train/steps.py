@@ -40,7 +40,7 @@ class TrainState(NamedTuple):
 def make_train_step(model, stage: int, w1: float, w2: float, momentum: float,
                     weight_decay: float, ignore_label: int = 255,
                     freeze_batch_norm: bool = False, mesh=None, dry_run: bool = False,
-                    num_classes: int = 19, post_fn=None):
+                    num_classes: int = 19, post_fn=None, grouped: bool = True):
     """Returns jitted fn(state, img_lo, img_hi, seg, lr, rng) ->
     (state, losses-dict of f32 scalars).
 
@@ -64,12 +64,18 @@ def make_train_step(model, stage: int, w1: float, w2: float, momentum: float,
         else:
             # train=True with BN frozen still runs in train mode for dropout;
             # freeze is handled by the model's use_running_average plumbing.
+            # grouped=True keeps the SSSR tail in space-to-depth layout (see
+            # ops/conv.py): the labels are grouped to match below, and the
+            # loss value is mathematically identical.
             outs, mutated = model.apply(
-                variables, img_lo, not freeze_batch_norm,
+                variables, img_lo, True, freeze_batch_norm, grouped and not dry_run,
                 rngs={'dropout': rng}, mutable=['batch_stats'])
             sssr, sisr, sssr_t, sisr_t = outs
             new_stats = mutated['batch_stats']
 
+        if grouped and not dry_run:
+            from ..ops.conv import group_labels
+            seg = group_labels(seg, 4)
         ce = cross_entropy_loss(sssr, seg, ignore_label)
         mse = w1 * mse_loss(sisr, img_hi) if stage > 1 else jnp.float32(0)
         fa = w2 * fa_loss(sssr_t, sisr_t) if stage > 2 else jnp.float32(0)

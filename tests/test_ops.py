@@ -93,3 +93,40 @@ def test_matmul_resize_matches_gather(rng):
     a = np.asarray(resize_bilinear_align_corners(jnp.asarray(x), (7, 13)))
     b = np.asarray(resize_bilinear_matmul(jnp.asarray(x), (7, 13)))
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_grouped_conv_transpose_equals_plain(rng):
+    """Grouped convT chain + ungroup must equal two plain convTs exactly."""
+    from dualsuperreslearningforsemseg_tpu.ops.conv import (
+        conv_transpose_2x2_stride2_grouped, ungroup_2x2, group_labels)
+    c = 19
+    x = jnp.asarray(rng.standard_normal((2, 8, 12, c), dtype=np.float32))
+    w1 = jnp.asarray(rng.standard_normal((c, c, 2, 2), dtype=np.float32))
+    w2 = jnp.asarray(rng.standard_normal((c, c, 2, 2), dtype=np.float32))
+    b2 = jnp.asarray(rng.standard_normal((c,), dtype=np.float32))
+
+    plain = conv_transpose_2x2_stride2(
+        conv_transpose_2x2_stride2(x, w1, None), w2, b2)
+
+    g1 = conv_transpose_2x2_stride2_grouped(x, w1, None)        # (B,8,12,4,c)
+    assert g1.shape == (2, 8, 12, 4, c)
+    g2 = conv_transpose_2x2_stride2_grouped(g1, w2, b2)         # (B,8,12,16,c)
+    assert g2.shape == (2, 8, 12, 16, c)
+    np.testing.assert_allclose(np.asarray(ungroup_2x2(g2)), np.asarray(plain),
+                               rtol=1e-5, atol=1e-5)
+
+    # intermediate single-step grouping too
+    np.testing.assert_allclose(
+        np.asarray(ungroup_2x2(g1)),
+        np.asarray(conv_transpose_2x2_stride2(x, w1, None)), rtol=1e-6, atol=1e-6)
+
+
+def test_group_labels_matches_ungroup(rng):
+    """group_labels must be the exact inverse arrangement of ungroup_2x2."""
+    from dualsuperreslearningforsemseg_tpu.ops.conv import ungroup_2x2, group_labels
+    seg = rng.integers(0, 19, size=(2, 32, 48)).astype(np.int32)
+    grouped = group_labels(jnp.asarray(seg), 4)                 # (B,8,12,16)
+    assert grouped.shape == (2, 8, 12, 16)
+    # route through ungroup (needs a channel axis) and compare
+    back = ungroup_2x2(grouped[..., None].astype(np.float32))[..., 0]
+    np.testing.assert_array_equal(np.asarray(back).astype(np.int32), seg)
