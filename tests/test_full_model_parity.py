@@ -154,3 +154,60 @@ def test_full_model_eval_parity(rng):
         th = np.transpose(th.numpy(), (0, 2, 3, 1))
         assert o.shape == th.shape, (name, o.shape, th.shape)
         np.testing.assert_allclose(o, th, rtol=1e-3, atol=2e-3, err_msg=name)
+
+
+def test_full_model_gradient_parity(rng):
+    """Gradients of the CE loss w.r.t. shared parameters must match torch
+    (eval-mode normalization so dropout/batch-stats don't inject noise) —
+    exercises conv, dilated-conv, ConvTranspose, BN-affine, bilinear-resize
+    and concat backwards through the whole network."""
+    model = DSRL(stage=1, num_classes=19, backbone_layers=LAYERS)
+    x = rng.standard_normal((1, 64, 128, 3), dtype=np.float32)
+    seg = rng.integers(0, 19, size=(1, 128, 256)).astype(np.int32)
+    variables = model.init({'params': jax.random.PRNGKey(0),
+                            'dropout': jax.random.PRNGKey(1)}, jnp.asarray(x), False)
+
+    from dualsuperreslearningforsemseg_tpu.losses import cross_entropy_loss
+
+    def loss_fn(params):
+        sssr = model.apply({'params': params, 'batch_stats': variables['batch_stats']},
+                           jnp.asarray(x), False)[0]
+        return cross_entropy_loss(sssr, jnp.asarray(seg), 255)
+
+    our_loss, our_grads = jax.value_and_grad(loss_fn)(variables['params'])
+
+    ref = TorchDSRL(stage=1).eval()
+    sd = state_dict(variables)
+    tsd = {}
+    for key, value in sd.items():
+        if key.endswith('num_batches_tracked'):
+            continue
+        for src, dst in _PREFIX_MAP:
+            if key.startswith(src):
+                tsd[dst + key[len(src):]] = t.from_numpy(np.ascontiguousarray(value))
+                break
+    ref.load_state_dict(tsd, strict=False)
+
+    logits = ref(t.from_numpy(np.transpose(x, (0, 3, 1, 2))))[0]
+    torch_loss = t.nn.CrossEntropyLoss(ignore_index=255)(logits, t.from_numpy(seg).long())
+    torch_loss.backward()
+    assert abs(float(our_loss) - float(torch_loss)) < 1e-5
+
+    # Spot-check gradients across depth: first conv, a mid bottleneck conv,
+    # the classifier, and the final ConvTranspose.
+    checks = [
+        ('feature_extractor.backbone.conv1.kernel', ref.backbone.conv1.weight, True),
+        ('SSSR_decoder.cls_conv.kernel', ref.cls_conv.weight, True),
+        ('SSSR_decoder.upsample16_pred.6.weight', ref.up[6].weight, False),
+        ('SSSR_decoder.upsample16_pred.6.bias', ref.up[6].bias, False),
+    ]
+    from dualsuperreslearningforsemseg_tpu.models.state_dict import flatten_variables
+    flat_grads = flatten_variables({'params': our_grads})
+    for name, torch_param, is_conv in checks:
+        ours = np.asarray(flat_grads[name])
+        theirs = torch_param.grad.numpy()
+        if is_conv:
+            ours = np.transpose(ours, (3, 2, 0, 1))  # HWIO -> OIHW
+        scale = max(np.abs(theirs).max(), 1e-8)
+        np.testing.assert_allclose(ours / scale, theirs / scale, rtol=2e-3,
+                                   atol=2e-4, err_msg=name)
