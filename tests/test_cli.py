@@ -170,3 +170,28 @@ def test_cli_validation_errors(workdir, capsys):
     run_cli('test', '--image-file', 'no_such.png',
             '--weights', os.path.join('weights', 'stage1', 'final.weights'))
     assert "doesn't exists" in capsys.readouterr().out
+
+
+def test_checkpoint_history_pruning_and_early_stop(workdir):
+    """Autosave pruning keeps only `checkpoint-history` latest files
+    (reference train_or_resume.py:283-290); early stopping triggers when
+    train loss < val loss (`:339-344`, trivially true on random data)."""
+    run_cli('train', '--device', 'cpu', '--dataset', 'cityscapes', '--stage', '1',
+            '--epochs', '4', '--batch-size', '1', '--val-interval', '10',
+            '--checkpoint-interval', '1', '--checkpoint-history', '2',
+            '--num-workers', '1', '--experiment-id', 'prune_hist', '--yes')
+    ckpts = sorted(glob.glob(os.path.join('experiments', 'prune_hist', 'weights',
+                                          'stage1', 'checkpoints', 'epoch*.checkpoint')))
+    names = [os.path.basename(c) for c in ckpts]
+    assert names == ['epoch3.checkpoint', 'epoch4.checkpoint'], names
+
+    run_cli('train', '--device', 'cpu', '--dataset', 'cityscapes', '--stage', '1',
+            '--epochs', '50', '--batch-size', '1', '--val-interval', '1',
+            '--checkpoint-history', '0', '--num-workers', '1',
+            '--experiment-id', 'earlystop', '--early-stopping', '--yes')
+    stdout = open(os.path.join('experiments', 'earlystop', 'logs', 'stage1',
+                               'train', 'stdout.txt')).read()
+    assert 'Early stopping was triggered' in stdout
+    # final weights still written after the early stop
+    assert os.path.isfile(os.path.join('experiments', 'earlystop', 'weights',
+                                       'stage1', 'final.weights'))
