@@ -69,6 +69,86 @@ def _rebuild_tensor_v2(storage, storage_offset, size, stride, requires_grad=None
     return np.ascontiguousarray(arr)
 
 
+_STORAGE_BY_DTYPE = {
+    np.dtype(np.float32): 'FloatStorage',
+    np.dtype(np.float64): 'DoubleStorage',
+    np.dtype(np.float16): 'HalfStorage',
+    np.dtype(np.int64): 'LongStorage',
+    np.dtype(np.int32): 'IntStorage',
+    np.dtype(np.int16): 'ShortStorage',
+    np.dtype(np.int8): 'CharStorage',
+    np.dtype(np.uint8): 'ByteStorage',
+    np.dtype(np.bool_): 'BoolStorage',
+}
+
+
+def _pkl_int(n: int) -> bytes:
+    if 0 <= n < 256:
+        return b'K' + bytes([n])                     # BININT1
+    if -2**31 <= n < 2**31:
+        return b'J' + n.to_bytes(4, 'little', signed=True)   # BININT
+    data = pickle.encode_long(n)
+    return b'\x8a' + bytes([len(data)]) + data       # LONG1
+
+
+def _pkl_str(s: str) -> bytes:
+    raw = s.encode('utf-8')
+    return b'X' + len(raw).to_bytes(4, 'little') + raw   # BINUNICODE
+
+
+def _pkl_global(module: str, name: str) -> bytes:
+    return b'c' + module.encode() + b'\n' + name.encode() + b'\n'
+
+
+def _pkl_tuple(item_bytes) -> bytes:
+    return b'(' + b''.join(item_bytes) + b't'
+
+
+def save_torch_pth(state: dict, filename: str):
+    """Write a dict of numpy arrays as a torch-zip ``.pth`` loadable by real
+    ``torch.load`` (and by :func:`load_torch_pth`) — hand-emitted pickle
+    opcodes referencing torch's rebuild function, no torch import needed."""
+    body = [b'\x80\x02', b'}']        # PROTO 2, EMPTY_DICT
+    body.append(b'(')                 # MARK for SETITEMS
+    storages = {}
+    for idx, (name, arr) in enumerate(state.items()):
+        arr = np.ascontiguousarray(arr)
+        if arr.dtype not in _STORAGE_BY_DTYPE:
+            raise TypeError("unsupported dtype {} for '{}'".format(arr.dtype, name))
+        key = str(idx)
+        storages[key] = arr
+        body.append(_pkl_str(name))
+        # torch._utils._rebuild_tensor_v2(storage, offset, size, stride, ...)
+        body.append(_pkl_global('torch._utils', '_rebuild_tensor_v2'))
+        pid = _pkl_tuple([
+            _pkl_str('storage'),
+            _pkl_global('torch', _STORAGE_BY_DTYPE[arr.dtype]),
+            _pkl_str(key),
+            _pkl_str('cpu'),
+            _pkl_int(arr.size),
+        ]) + b'Q'                      # BINPERSID
+        strides = tuple(s // arr.itemsize for s in arr.strides) if arr.ndim else ()
+        args = _pkl_tuple([
+            pid,
+            _pkl_int(0),
+            _pkl_tuple([_pkl_int(d) for d in arr.shape]),
+            _pkl_tuple([_pkl_int(s) for s in strides]),
+            b'\x89',                   # NEWFALSE (requires_grad)
+            _pkl_global('collections', 'OrderedDict') + b')R',  # empty hooks
+        ])
+        body.append(args + b'R')       # REDUCE
+    body.append(b'u')                  # SETITEMS
+    body.append(b'.')                  # STOP
+    pkl = b''.join(body)
+
+    with zipfile.ZipFile(filename, 'w', compression=zipfile.ZIP_STORED) as zf:
+        zf.writestr('archive/data.pkl', pkl)
+        zf.writestr('archive/version', '3\n')
+        zf.writestr('archive/byteorder', 'little')
+        for key, arr in storages.items():
+            zf.writestr('archive/data/{}'.format(key), arr.tobytes())
+
+
 class _TorchUnpickler(pickle.Unpickler):
     def __init__(self, file, read_storage):
         super().__init__(file)

@@ -14,13 +14,19 @@ from ..utils import INFO
 from .test import _init_eval_variables
 
 
-def prune_weights(src_weights, dest_weights, dataset, **other_args):
+def prune_weights(src_weights, dest_weights, dataset, torch_format=False, **other_args):
     model = DSRL(stage=1, num_classes=dataset['settings'].NUM_CLASSES)
     variables = _init_eval_variables(model)
 
     src_dict = load_checkpoint_or_weights(src_weights)
     variables, _, _ = load_state_dict(variables, src_dict['model_state_dict'], strict=False)
 
-    save_weights(*os.path.split(dest_weights), state_dict(variables),
-                 src_dict.get('mixed_precision'), src_dict.get('amp_state_dict'))
+    if torch_format:
+        # Interop escape hatch: emit a torch-zip .pth of the stage-1 state
+        # dict (torch-style key names + OIHW tensors) loadable by torch.load.
+        from ..checkpoint import save_torch_pth
+        save_torch_pth(state_dict(variables), dest_weights)
+    else:
+        save_weights(*os.path.split(dest_weights), state_dict(variables),
+                     src_dict.get('mixed_precision'), src_dict.get('amp_state_dict'))
     print(INFO("Output weight saved in '{:s}'.".format(dest_weights)))

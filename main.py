@@ -192,6 +192,7 @@ def parse_cmdline_and_invoke_main(args):
             prune_parser.add_argument('--src-weights', required=True, type=str, help="Checkpoint/Weights file to prune")
             prune_parser.add_argument('--dest-weights', required=True, type=str, help="New weights file to write to")
             prune_parser.add_argument('--dataset', type=str.casefold, choices=settings.DATASETS.keys(), default=list(settings.DATASETS.keys())[0], help="Dataset settings to use")
+            prune_parser.add_argument('--torch-format', action='store_true', help="Write a torch-zip .pth loadable by torch.load (interop export)")
             prune_parser.add_argument('--yes', action='store_true', help="Assume 'yes' for overwrite confirmation")
 
         inspect_checkpoint_parser = command_parser.add_parser('inspect-checkpoint', help="View contents of a checkpoint file")

@@ -76,3 +76,28 @@ def test_noncontiguous_tensor_in_pth(tmp_path):
     t.save(sd, str(path))
     loaded = load_torch_pth(str(path))
     np.testing.assert_allclose(loaded['w'], sd['w'].numpy())
+
+
+def test_save_torch_pth_roundtrip_with_real_torch(tmp_path, rng):
+    """Our hand-written torch-zip writer must be loadable by real torch.load
+    AND by our own reader."""
+    from dualsuperreslearningforsemseg_tpu.checkpoint import save_torch_pth
+    state = {
+        'conv.weight': rng.standard_normal((4, 3, 3, 3), dtype=np.float32),
+        'bn.running_mean': rng.standard_normal(4).astype(np.float64),
+        'count': np.asarray(7, dtype=np.int64).reshape(()),
+        'mask': rng.integers(0, 255, size=(5,)).astype(np.uint8),
+    }
+    path = str(tmp_path / 'exported.pth')
+    save_torch_pth(state, path)
+
+    via_torch = t.load(path, map_location='cpu', weights_only=True)
+    assert set(via_torch.keys()) == set(state.keys())
+    for k, v in state.items():
+        np.testing.assert_array_equal(via_torch[k].numpy(), v)
+    assert via_torch['conv.weight'].dtype == t.float32
+    assert via_torch['count'].dtype == t.int64
+
+    via_ours = load_torch_pth(path)
+    for k, v in state.items():
+        np.testing.assert_array_equal(np.asarray(via_ours[k]), v)

@@ -195,3 +195,26 @@ def test_checkpoint_history_pruning_and_early_stop(workdir):
     # final weights still written after the early stop
     assert os.path.isfile(os.path.join('experiments', 'earlystop', 'weights',
                                        'stage1', 'final.weights'))
+
+
+def test_prune_weights_torch_format(workdir):
+    """--torch-format must emit a .pth that real torch.load can read."""
+    import torch as t
+    src = os.path.join('weights', 'stage1', 'final.weights')
+    if not os.path.isfile(src):
+        # standalone-safe: synthesize stage-1 weights
+        import jax
+        import jax.numpy as jnp
+        from dualsuperreslearningforsemseg_tpu.models import DSRL, state_dict
+        from dualsuperreslearningforsemseg_tpu.checkpoint import save_weights
+        model = DSRL(stage=1, num_classes=19)
+        variables = model.init({'params': jax.random.PRNGKey(0),
+                                'dropout': jax.random.PRNGKey(1)},
+                               jnp.zeros((1, *settings.MODEL_INPUT_SIZE, 3)), False)
+        save_weights(os.path.dirname(src), os.path.basename(src),
+                     state_dict(variables), None)
+    run_cli('prune-weights', '--src-weights', src,
+            '--dest-weights', 'for_torch.weights', '--yes', '--torch-format')
+    sd = t.load('for_torch.weights', map_location='cpu', weights_only=True)
+    assert 'feature_extractor.backbone.conv1.weight' in sd
+    assert tuple(sd['feature_extractor.backbone.conv1.weight'].shape) == (64, 3, 7, 7)
