@@ -22,6 +22,13 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: the CLI end-to-end tests trigger ~10 full-model
+# CPU compiles; caching makes warm reruns several times faster.
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/dsrl_tpu_jax_cache_cpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
