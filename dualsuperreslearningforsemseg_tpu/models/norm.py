@@ -55,15 +55,21 @@ class TorchBatchNorm(nn.Module):
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
-            mean = xf.mean(axis=reduce_axes)
-            var = ((xf - mean) ** 2).mean(axis=reduce_axes)
             n = 1
             for ax in reduce_axes:
                 n *= x.shape[ax]
             if self.axis_name is not None:
-                mean = jax.lax.pmean(mean, self.axis_name)
-                var = jax.lax.pmean(var + mean * 0, self.axis_name)  # per-shard var avg (approx sync-BN)
+                # Exact cross-replica statistics (true SyncBatchNorm): reduce
+                # the first two moments over the named axis, then
+                # var = E[x²] − mean² — identical to single-device BN over
+                # the concatenated batch.
+                mean = jax.lax.pmean(xf.mean(axis=reduce_axes), self.axis_name)
+                mean_sq = jax.lax.pmean((xf * xf).mean(axis=reduce_axes), self.axis_name)
+                var = jnp.maximum(mean_sq - mean * mean, 0.0)
                 n *= jax.lax.psum(1, self.axis_name)
+            else:
+                mean = xf.mean(axis=reduce_axes)
+                var = ((xf - mean) ** 2).mean(axis=reduce_axes)
             if not self.is_initializing():
                 m = self.momentum
                 unbiased = var * (n / max(n - 1, 1))
