@@ -1,20 +1,31 @@
-"""Benchmark: stage-3 DSRL training throughput (images/sec/chip).
+"""Benchmark suite for the DSRL-TPU framework. Prints ONE JSON line.
 
-Measures the full per-step work on the real accelerator: device-side
-augmentation (affine warp + blur/gray/normalize + LUT) and the fused
-train step (forward + losses incl. FA + backward + SGD + BN stats) at the
-reference recipe's shapes — 256x512 input -> 512x1024 output, bf16 compute,
-per-chip batch of BATCH images.
+Primary metric (always): stage-3 training throughput in images/sec/chip at
+the reference recipe's shapes — 256x512 input -> 512x1024 output, bf16
+compute, per-chip batch of BATCH — measuring the full per-step work (device
+photometric tail fused with forward + CE/MSE/FA losses + backward + SGD +
+BN stats; the host affine warp runs overlapped on real input pipelines).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Extra keys on the same JSON line (each measured best-effort; a tunnel flake
+drops the key rather than the run):
 
-vs_baseline: the reference repo publishes no throughput numbers
-(SURVEY.md §6); its hardware was an unspecified CUDA 11.1 GPU on PyTorch 1.7.
-We use 12 images/sec as the documented estimate for the reference stage-3
-train throughput at these shapes on a 2080Ti-class card, so
-vs_baseline = ours / 12.0 (target: >= 5x).
+* ``achieved_tflops_per_sec_per_chip`` / ``mfu`` — grounded in the compiled
+  step's own cost analysis (XLA-counted FLOPs), not an external estimate.
+* ``p50_test_latency_ms`` — single-image stage-1 inference, the reference's
+  first-class latency metric (/root/reference/command_handlers/test.py:51,95):
+  H2D + forward + argmax + D2H of the prediction, median of N reps.
+* ``stage1_eval_images_per_sec_per_chip`` — the `benchmark` command's hot
+  loop (stage-1 eval + on-device metric histograms).
+
+``vs_baseline`` divides by REF_IMAGES_PER_SEC = 12.0, an ESTIMATE for the
+reference implementation at these shapes on its era's hardware (the
+reference publishes no throughput numbers, SURVEY.md §6) — treat it as
+order-of-magnitude context; ``mfu`` is the grounded efficiency claim.
+
+Usage: python bench.py [--stage {1,2,3}] [--skip-extras]
 """
 
+import argparse
 import json
 import sys
 import time
@@ -25,40 +36,66 @@ REF_IMAGES_PER_SEC = 12.0
 BATCH = 16
 WARMUP_STEPS = 3
 MEASURE_STEPS = 20
+LATENCY_REPS = 30
+
+# Dense bf16 peak per chip, by PJRT device_kind substring.
+_PEAK_TFLOPS = (
+    ('v5 lite', 197.0), ('v5e', 197.0),
+    ('v5p', 459.0), ('v5', 459.0),
+    ('v4', 275.0),
+    ('v6 lite', 918.0), ('v6e', 918.0),
+    ('v3', 123.0), ('v2', 46.0),
+)
 
 
-def main():
+def _peak_tflops(device) -> float:
+    kind = getattr(device, 'device_kind', '').lower()
+    for key, peak in _PEAK_TFLOPS:
+        if key in kind:
+            return peak
+    return 0.0
+
+
+def _retry(fn, what, attempts=3):
+    """The remote-compile service occasionally drops a response mid-body;
+    re-invoking retries the compile (the persistent cache keeps any
+    successfully compiled pieces)."""
+    for attempt in range(attempts):
+        try:
+            return fn()
+        except Exception as exc:  # pragma: no cover - infra flake path
+            print("{} attempt {} failed: {}".format(what, attempt, exc), file=sys.stderr)
+            if attempt == attempts - 1:
+                raise
+            time.sleep(20)
+
+
+def _init_host(model, input_hw, seed):
     import jax
-    # Persistent compilation cache: the stage-3 train step takes minutes to
-    # compile through the remote-compile tunnel on first run; later runs
-    # (including the driver's) hit the cache.
-    try:
-        jax.config.update('jax_compilation_cache_dir', '/tmp/dsrl_tpu_jax_cache')
-        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
-    except Exception:
-        pass
     import jax.numpy as jnp
-    from dualsuperreslearningforsemseg_tpu import settings
-    from dualsuperreslearningforsemseg_tpu.datasets import cityscapes as cs
-    from dualsuperreslearningforsemseg_tpu.data import make_train_augment_fn, AugmentConfig
-    from dualsuperreslearningforsemseg_tpu.models import DSRL
-    from dualsuperreslearningforsemseg_tpu.parallel import make_mesh, replicate, batch_sharding
-    from dualsuperreslearningforsemseg_tpu.train import (sgd_init, make_train_step, TrainState)
-
-    input_hw = (256, 512)
-    output_hw = (512, 1024)
-    model = DSRL(stage=3, num_classes=cs.NUM_CLASSES, dtype=jnp.bfloat16)
-
-    # Host-side init (TPU init through the tunnel costs minutes).
-    rngs = {'params': jax.random.PRNGKey(settings.RANDOM_SEED),
-            'dropout': jax.random.PRNGKey(settings.RANDOM_SEED + 1)}
+    rngs = {'params': jax.random.PRNGKey(seed), 'dropout': jax.random.PRNGKey(seed + 1)}
     x0 = jnp.zeros((1, *input_hw, 3), jnp.float32)
     try:
         cpu = jax.local_devices(backend='cpu')[0]
         with jax.default_device(cpu):
-            variables = jax.jit(model.init, static_argnums=(2,))(rngs, x0, False)
+            return jax.jit(model.init, static_argnums=(2,))(rngs, x0, False)
     except Exception:
-        variables = model.init(rngs, x0, False)
+        return model.init(rngs, x0, False)
+
+
+def _train_throughput(stage):
+    import jax
+    import jax.numpy as jnp
+    from dualsuperreslearningforsemseg_tpu import settings
+    from dualsuperreslearningforsemseg_tpu.datasets import cityscapes as cs
+    from dualsuperreslearningforsemseg_tpu.data import AugmentConfig, make_device_post_fn
+    from dualsuperreslearningforsemseg_tpu.models import DSRL
+    from dualsuperreslearningforsemseg_tpu.parallel import make_mesh, replicate, batch_sharding
+    from dualsuperreslearningforsemseg_tpu.train import sgd_init, make_train_step, TrainState
+
+    input_hw, output_hw = (256, 512), (512, 1024)
+    model = DSRL(stage=stage, num_classes=cs.NUM_CLASSES, dtype=jnp.bfloat16)
+    variables = _init_host(model, input_hw, settings.RANDOM_SEED)
 
     mesh = make_mesh()
     n_chips = len(mesh.devices.reshape(-1))
@@ -68,13 +105,8 @@ def main():
 
     aug_cfg = AugmentConfig(input_hw=input_hw, output_hw=output_hw,
                             mean=cs.MEAN, std=cs.STD)
-    # Mirrors the production path: the host (native C++ data plane) decodes
-    # and affine-warps to output_hw overlapped with device compute; the
-    # photometric tail is FUSED into the train step (one XLA program per
-    # step).  Pre-staged warped uint8 batches stand in for the loader.
-    from dualsuperreslearningforsemseg_tpu.data import make_device_post_fn
     post = make_device_post_fn(aug_cfg)
-    train_step = make_train_step(model, stage=3, w1=0.1, w2=1.0, momentum=0.9,
+    train_step = make_train_step(model, stage=stage, w1=0.1, w2=1.0, momentum=0.9,
                                  weight_decay=0.0005,
                                  ignore_label=cs.IGNORE_CLASS_LABEL, mesh=mesh,
                                  post_fn=post)
@@ -95,21 +127,23 @@ def main():
         state, losses = train_step(state, imgs_dev, segs_dev, lr, k_step)
         return state, key, losses
 
+    # FLOPs of one compiled step, as counted by XLA itself (per-process
+    # program = all addressable chips' work).
+    flops_per_step = None
+    try:
+        compiled = train_step.lower(state, imgs_dev, segs_dev, lr,
+                                    jax.random.PRNGKey(1)).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_step = float(cost.get('flops', 0.0)) or None
+    except Exception as exc:
+        print("cost_analysis unavailable: {}".format(exc), file=sys.stderr)
+
     t0 = time.time()
     for i in range(WARMUP_STEPS):
-        # The remote-compile service occasionally drops a response mid-body;
-        # re-invoking retries the compile (the persistent cache keeps any
-        # successfully compiled pieces).
-        for attempt in range(3):
-            try:
-                state, key, losses = step(state, key)
-                jax.block_until_ready(losses)
-                break
-            except Exception as exc:  # pragma: no cover - infra flake path
-                print("warmup attempt {} failed: {}".format(attempt, exc), file=sys.stderr)
-                if attempt == 2:
-                    raise
-                time.sleep(20)
+        state, key, losses = _retry(lambda: step(state, key), "warmup")
+        jax.block_until_ready(losses)
         print("warmup step {} done at {:.1f}s".format(i, time.time() - t0), file=sys.stderr)
 
     start = time.time()
@@ -118,14 +152,133 @@ def main():
     jax.block_until_ready(losses)
     elapsed = time.time() - start
 
-    images_per_sec = MEASURE_STEPS * global_batch / elapsed
-    per_chip = images_per_sec / n_chips
-    print(json.dumps({
-        "metric": "stage3_train_images_per_sec_per_chip",
+    per_chip = MEASURE_STEPS * global_batch / elapsed / n_chips
+    result = {"images_per_sec_per_chip": per_chip, "n_chips": n_chips}
+    if flops_per_step:
+        local_chips = jax.local_device_count()
+        tflops_sec_chip = flops_per_step * MEASURE_STEPS / elapsed / local_chips / 1e12
+        result["achieved_tflops_per_sec_per_chip"] = round(tflops_sec_chip, 2)
+        result["tflops_per_image"] = round(flops_per_step / (BATCH * local_chips) / 1e12, 3)
+        peak = _peak_tflops(jax.devices()[0])
+        if peak:
+            result["mfu"] = round(tflops_sec_chip / peak, 4)
+            result["peak_tflops"] = peak
+    return result
+
+
+def _p50_test_latency():
+    """Single-image `test`-command latency through the fused device pipeline
+    (commands/test.py::_build_pipeline): uint8 display-size image in ->
+    /255 + normalize + resize + stage-1 forward + argmax -> uint8 class map
+    out.  Matches what `test --image-file` times per image."""
+    import jax
+    import jax.numpy as jnp
+    from dualsuperreslearningforsemseg_tpu.datasets import cityscapes as cs
+    from dualsuperreslearningforsemseg_tpu.models import DSRL
+    from dualsuperreslearningforsemseg_tpu.ops.resize import resize_bilinear_align_corners
+
+    input_hw, output_hw = (256, 512), (512, 1024)
+    model = DSRL(stage=1, num_classes=cs.NUM_CLASSES, dtype=jnp.bfloat16)
+    variables = _init_host(model, input_hw, 0)
+    variables = jax.device_put(variables, jax.devices()[0])
+    mean = jnp.asarray(cs.MEAN, jnp.float32)
+    std = jnp.asarray(cs.STD, jnp.float32)
+
+    @jax.jit
+    def pipeline(v, img_u8):
+        x = (img_u8.astype(jnp.float32) / 255.0 - mean) / std
+        img_lo = resize_bilinear_align_corners(x[None], input_hw)
+        sssr = model.apply(v, img_lo, False)[0]
+        return jnp.argmax(sssr[0], axis=-1).astype(jnp.uint8)
+
+    x_host = np.random.default_rng(0).integers(0, 256, size=(*output_hw, 3),
+                                               dtype=np.uint8)
+    _retry(lambda: np.asarray(pipeline(variables, jnp.asarray(x_host))), "latency warmup")
+    times = []
+    for _ in range(LATENCY_REPS):
+        t0 = time.perf_counter()
+        pred = np.asarray(pipeline(variables, jnp.asarray(x_host)))
+        times.append(time.perf_counter() - t0)
+    assert pred.shape == output_hw
+    return float(np.percentile(times, 50) * 1000.0)
+
+
+def _stage1_eval_throughput():
+    """The `benchmark` command's hot loop: eval forward + device metrics."""
+    import jax
+    import jax.numpy as jnp
+    from dualsuperreslearningforsemseg_tpu.datasets import cityscapes as cs
+    from dualsuperreslearningforsemseg_tpu.models import DSRL
+    from dualsuperreslearningforsemseg_tpu.parallel import make_mesh, replicate, batch_sharding
+    from dualsuperreslearningforsemseg_tpu.train import make_eval_step
+
+    input_hw, output_hw = (256, 512), (512, 1024)
+    model = DSRL(stage=1, num_classes=cs.NUM_CLASSES, dtype=jnp.bfloat16)
+    variables = _init_host(model, input_hw, 0)
+    mesh = make_mesh()
+    n_chips = len(mesh.devices.reshape(-1))
+    params = replicate(variables['params'], mesh)
+    stats = replicate(variables['batch_stats'], mesh)
+    eval_step = make_eval_step(model, stage=1, w1=0.1, w2=1.0,
+                               num_classes=cs.NUM_CLASSES,
+                               ignore_label=cs.IGNORE_CLASS_LABEL)
+
+    rng = np.random.default_rng(0)
+    global_batch = BATCH * n_chips
+    img_lo = jax.device_put(rng.standard_normal((global_batch, *input_hw, 3)).astype(np.float32),
+                            batch_sharding(mesh, 4))
+    img_hi = jax.device_put(rng.standard_normal((global_batch, *output_hw, 3)).astype(np.float32),
+                            batch_sharding(mesh, 4))
+    seg = jax.device_put(rng.integers(0, 19, size=(global_batch, *output_hw)).astype(np.int32),
+                         batch_sharding(mesh, 3))
+    mask = jax.device_put(np.ones((global_batch,), np.float32), batch_sharding(mesh, 1))
+
+    out = _retry(lambda: eval_step(params, stats, img_lo, img_hi, seg, mask), "eval warmup")
+    jax.block_until_ready(out)
+    steps = 10
+    start = time.time()
+    for _ in range(steps):
+        out = eval_step(params, stats, img_lo, img_hi, seg, mask)
+    jax.block_until_ready(out)
+    return steps * global_batch / (time.time() - start) / n_chips
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--stage', type=int, default=3, choices=(1, 2, 3))
+    parser.add_argument('--skip-extras', action='store_true',
+                        help="Measure only the training-throughput metric")
+    args = parser.parse_args()
+
+    import jax
+    try:
+        jax.config.update('jax_compilation_cache_dir', '/tmp/dsrl_tpu_jax_cache')
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:
+        pass
+
+    train = _train_throughput(args.stage)
+    per_chip = train.pop("images_per_sec_per_chip")
+    record = {
+        "metric": "stage{}_train_images_per_sec_per_chip".format(args.stage),
         "value": round(per_chip, 2),
         "unit": "images/sec/chip (256x512 in, 512x1024 out, bf16, batch {})".format(BATCH),
         "vs_baseline": round(per_chip / REF_IMAGES_PER_SEC, 2),
-    }))
+        "baseline_note": "vs an ESTIMATED 12 img/s for the reference impl (no published number); see mfu for the grounded efficiency figure",
+    }
+    record.update(train)
+
+    if not args.skip_extras and args.stage == 3:
+        try:
+            record["p50_test_latency_ms"] = round(_p50_test_latency(), 2)
+        except Exception as exc:
+            print("p50 latency measurement failed: {}".format(exc), file=sys.stderr)
+        try:
+            record["stage1_eval_images_per_sec_per_chip"] = round(_stage1_eval_throughput(), 2)
+        except Exception as exc:
+            print("stage-1 eval measurement failed: {}".format(exc), file=sys.stderr)
+
+    print(json.dumps(record))
 
 
 if __name__ == '__main__':

@@ -1,27 +1,28 @@
-"""`inspect-checkpoint` command (/root/reference/command_handlers/
-inspect_checkpoint.py:6-24): pretty-print checkpoint contents, skipping
-arrays/tensors."""
+"""`inspect-checkpoint` command: print a checkpoint's hyperparameters and
+bookkeeping while eliding bulky arrays (reference behavior:
+/root/reference/command_handlers/inspect_checkpoint.py:6-24 — tensors appear
+as bare key names, strings quoted, nested dicts rendered inline)."""
 
 import numpy as np
 
 from ..checkpoint import load_checkpoint_or_weights
 
 
+def _render(value):
+    """One checkpoint value -> display string, or None to elide (arrays)."""
+    if isinstance(value, dict):
+        entries = []
+        for key, child in value.items():
+            rendered = _render(child)
+            entries.append(str(key) if rendered is None
+                           else '{}: {}'.format(key, rendered))
+        return '{{{}}}'.format(', '.join(entries))
+    if isinstance(value, (np.ndarray, list)):
+        return None
+    if isinstance(value, str):
+        return '"{}"'.format(value)
+    return str(value)
+
+
 def inspect_checkpoint(checkpoint, **other_args):
-    checkpoint_dict = load_checkpoint_or_weights(checkpoint)
-
-    def prettyDictToStr(dict_):
-        output = []
-        for key in dict_:
-            value = dict_[key]
-            if isinstance(value, dict):
-                output.append("{0}: {1}".format(key, prettyDictToStr(value)))
-            elif isinstance(value, (np.ndarray, list)):
-                output.append(str(key))
-            elif isinstance(value, str):
-                output.append("{0:s}: \"{1}\"".format(key, value))
-            else:
-                output.append("{0:s}: {1}".format(key, str(value)))
-        return "{{{:s}}}".format(', '.join(output))
-
-    print(prettyDictToStr(checkpoint_dict))
+    print(_render(load_checkpoint_or_weights(checkpoint)))

@@ -395,14 +395,21 @@ def train_or_resume(is_resuming_training, device, distributed, mixed_precision,
                                 model_state_dict=model_state_dict,
                                 optimizer_state_dict=opt_sd))
 
-                    if Avg_train_loss < Avg_val_loss:
-                        if early_stopping:
+                # The early-stop decision happens OUTSIDE the master gate: the
+                # loss averages derive from the same replicated device scalars
+                # on every process, so each process reaches the same verdict
+                # and breaks out of the (collective) epoch loop together.  A
+                # master-only break would leave the other ranks blocked in the
+                # next epoch's collectives.
+                if Avg_train_loss < Avg_val_loss:
+                    if early_stopping:
+                        stop_early = True
+                        if master:
                             log_string = "Early stopping was triggered at epoch {:d}.".format(epoch)
                             train_logger.add_text("INFO", log_string, epoch)
                             print(INFO(log_string))
-                            stop_early = True
-                        else:
-                            print(CAUTION("Average training loss < Average validation loss!"))
+                    elif master:
+                        print(CAUTION("Average training loss < Average validation loss!"))
             if stop_early:
                 break
 
@@ -500,7 +507,11 @@ def _val_epoch(state, eval_step, loader, eval_fn, mesh, epoch, stage, master,
     mean_accuracy = Accuracy()
     sharding = batch_sharding(mesh, 4)
     sharding3 = batch_sharding(mesh, 3)
+    sharding1 = batch_sharding(mesh, 1)
 
+    # Unseeded global-RNG index on purpose: the reference picks its example
+    # visualization with the unseeded numpy RNG too (train_or_resume.py:399),
+    # and it must not consume the seeded training stream.
     example_index = np.random.randint(0, max(len(loader), 1)) if master else -1
     n_shards = len(mesh.devices.reshape(-1)) // jax.process_count()
 
@@ -511,13 +522,16 @@ def _val_epoch(state, eval_step, loader, eval_fn, mesh, epoch, stage, master,
             n = imgs_u8.shape[0]
             # Pad ragged final batches up to the shard count; the sample mask
             # removes padded rows from every loss/metric (steps.make_eval_step).
+            # The mask is assembled into a GLOBAL array exactly like the
+            # image/label batches so its length matches theirs under
+            # multi-process runs (process-local length != global length).
             imgs_u8, segs_u8, mask = _pad_batch(imgs_u8, segs_u8, n_shards)
             imgs_dev = jax.make_array_from_process_local_data(sharding, imgs_u8)
             segs_dev = jax.make_array_from_process_local_data(sharding3, segs_u8)
+            mask_dev = jax.make_array_from_process_local_data(sharding1, mask)
             (img_lo, img_hi), (seg_hi, _) = eval_fn(imgs_dev, segs_dev)
             losses, pred, hists, acc = eval_step(state.params, state.batch_stats,
-                                                 img_lo, img_hi, seg_hi,
-                                                 jnp.asarray(mask))
+                                                 img_lo, img_hi, seg_hi, mask_dev)
             host = jax.device_get(losses)
             CE_avg.update(float(host['CE']), n)
             MSE_avg.update(float(host['MSE']), n)
@@ -560,13 +574,23 @@ def _pad_batch(imgs_u8, segs_u8, multiple):
     return imgs_u8, segs_u8, mask
 
 
+def _first_local_sample(arr):
+    """First sample of a (possibly multi-process sharded) batch.  A global
+    array is not fully addressable from one process, so fetch one local
+    shard rather than jax.device_get-ing the whole thing."""
+    shards = getattr(arr, 'addressable_shards', None)
+    if shards:
+        return np.asarray(shards[0].data)[0]
+    return np.asarray(jax.device_get(arr))[0]
+
+
 def _log_example_image(logger, img_hi, pred, ds_settings, epoch):
     """One random validation visualization per pass
     (train_or_resume.py:484-494): denormalized input | seg | overlay."""
-    img = np.asarray(jax.device_get(img_hi))[0]  # (H, W, 3) normalized
+    img = _first_local_sample(img_hi)  # (H, W, 3) normalized
     img = img * np.asarray(ds_settings.STD) + np.asarray(ds_settings.MEAN)
     img = np.clip(img * 255.0, 0.0, 255.0).astype(np.uint8).transpose(2, 0, 1)
-    pred0 = np.asarray(jax.device_get(pred))[0]
+    pred0 = _first_local_sample(pred)
     logger.add_image("EXAMPLE",
                      make_input_output_visualization(img, pred0, ds_settings.CLASS_RGB_COLOR),
                      epoch)

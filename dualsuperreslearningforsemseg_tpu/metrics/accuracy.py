@@ -28,7 +28,13 @@ class Accuracy:
         total_pixels = float(total_pixels)
         assert pixels_correct <= total_pixels, \
             "BUG CHECK: 'pixels_correct' cannot be be greater than 'total_pixels'."
-        self.accuracies.append(pixels_correct / total_pixels)
+        if total_pixels == 0:
+            # A batch with zero valid pixels: the reference's numpy division
+            # yields nan and the mean propagates it (Accuracy.py:25-29);
+            # python floats would raise ZeroDivisionError instead.
+            self.accuracies.append(float('nan'))
+        else:
+            self.accuracies.append(pixels_correct / total_pixels)
 
     def __call__(self):
         if self.dirty:

@@ -28,6 +28,7 @@ zeros placeholders (/root/reference/models/DSRL.py:172-174).
 
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -180,21 +181,24 @@ class DSRL(nn.Module):
                                                  Optional[jnp.ndarray], Optional[jnp.ndarray]]:
         assert self.stage in (1, 2, 3), \
             "BUG CHECK: Unsupported stage {0} specified in DSRL.__init__().".format(self.stage)
-        x = x.astype(self.dtype)
-        cat_features = FeatureExtractor(dtype=self.dtype, backbone_layers=self.backbone_layers, name='feature_extractor')(x, train, freeze_bn)
-        sssr_output = SSSRDecoder(self.num_classes, dtype=self.dtype, name='SSSR_decoder')(cat_features, train, freeze_bn, grouped)
+        # Label the forward in profiler traces, like the reference's
+        # record_function scope (/root/reference/models/DSRL.py:159).
+        with jax.named_scope('DSRL.forward'):
+            x = x.astype(self.dtype)
+            cat_features = FeatureExtractor(dtype=self.dtype, backbone_layers=self.backbone_layers, name='feature_extractor')(x, train, freeze_bn)
+            sssr_output = SSSRDecoder(self.num_classes, dtype=self.dtype, name='SSSR_decoder')(cat_features, train, freeze_bn, grouped)
 
-        sisr_output = sssr_t = sisr_t = None
-        if self.stage > 1:
-            sisr_output = SISRDecoder(dtype=self.dtype, name='SISR_decoder')(cat_features)
-            if self.stage > 2:
-                if grouped:
-                    # stride-8 sampling of the full-res logits == group 0
-                    # (pixel (4h, 4w)) at even grouped-grid positions.
-                    sssr_strided = sssr_output[:, ::2, ::2, 0, :]
-                    sssr_t = FeatureTransformer(dtype=self.dtype, stride=1,
-                                                name='SSSR_feature_transformer')(sssr_strided, train, freeze_bn)
-                else:
-                    sssr_t = FeatureTransformer(dtype=self.dtype, name='SSSR_feature_transformer')(sssr_output, train, freeze_bn)
-                sisr_t = FeatureTransformer(dtype=self.dtype, name='SISR_feature_transformer')(sisr_output, train, freeze_bn)
+            sisr_output = sssr_t = sisr_t = None
+            if self.stage > 1:
+                sisr_output = SISRDecoder(dtype=self.dtype, name='SISR_decoder')(cat_features)
+                if self.stage > 2:
+                    if grouped:
+                        # stride-8 sampling of the full-res logits == group 0
+                        # (pixel (4h, 4w)) at even grouped-grid positions.
+                        sssr_strided = sssr_output[:, ::2, ::2, 0, :]
+                        sssr_t = FeatureTransformer(dtype=self.dtype, stride=1,
+                                                    name='SSSR_feature_transformer')(sssr_strided, train, freeze_bn)
+                    else:
+                        sssr_t = FeatureTransformer(dtype=self.dtype, name='SSSR_feature_transformer')(sssr_output, train, freeze_bn)
+                    sisr_t = FeatureTransformer(dtype=self.dtype, name='SISR_feature_transformer')(sisr_output, train, freeze_bn)
         return sssr_output, sisr_output, sssr_t, sisr_t

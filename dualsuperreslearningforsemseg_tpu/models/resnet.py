@@ -11,10 +11,17 @@ without per-layer tables.
 
 TPU-first details: NHWC layout throughout (XLA's preferred conv layout on
 TPU); all convs run in the compute dtype (bf16 under mixed precision) with
-f32 parameters; BN statistics in f32.  The per-block zero-init of the last BN
-scale (/root/reference/models/modules/backbone/ResNet101.py:52-53) is kept —
-it makes residual blocks identity at init which materially helps the
-250-epoch recipe.
+f32 parameters; BN statistics in f32.
+
+Deliberate deviation — bn3 zero-init: the reference *intends* to zero the
+last BN scale of each block (ResNet101.py:52-53), but its init loop visits
+the Bottleneck before its bn3 child, so the BatchNorm2d branch overwrites
+the zero back to 1.0 — reference bn3.weight ends at 1.0 (verified with
+torch).  We keep the true torchvision ``zero_init_residual`` behavior
+(residual blocks start as identity, which materially helps the 250-epoch
+from-scratch recipe); set ``zero_init_last_bn=False`` to reproduce the
+reference's effective init.  This only affects the air-gapped from-scratch
+path — zoo/stage-cascade weights overwrite the init either way.
 """
 
 from typing import Sequence

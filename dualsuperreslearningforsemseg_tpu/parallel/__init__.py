@@ -1,6 +1,7 @@
 from .mesh import (make_mesh, batch_sharding, replicated_sharding,
                    shard_batch, replicate, is_master_rank,
-                   initialize_distributed)
+                   initialize_distributed, distributed_init_kwargs)
 
 __all__ = ['make_mesh', 'batch_sharding', 'replicated_sharding', 'shard_batch',
-           'replicate', 'is_master_rank', 'initialize_distributed']
+           'replicate', 'is_master_rank', 'initialize_distributed',
+           'distributed_init_kwargs']

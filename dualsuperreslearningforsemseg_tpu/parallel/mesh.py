@@ -50,16 +50,48 @@ def is_master_rank() -> bool:
     return jax.process_index() == 0
 
 
-def initialize_distributed(distributed: dict):
-    """Map the reference's --distributed 7-tuple onto jax.distributed.
+def distributed_init_kwargs(distributed: dict):
+    """Translate the reference's --distributed 7-tuple
+    (MASTER_ADDR MASTER_PORT NODES DEVICES_PER_NODE BACKEND INIT_METHOD
+    NODE_ID, /root/reference/main.py:19-43) into
+    ``jax.distributed.initialize`` kwargs.
 
-    BACKEND and DEVICES_PER_NODE are accepted for CLI parity and ignored: the
-    XLA runtime owns every local device of a process and the ICI/DCN fabric.
+    Topology note: the reference spawns ONE single-GPU process per device
+    (WORLD_SIZE = NODES x DEVICES_PER_NODE, main.py:32-35).  A JAX process
+    owns every local chip, so the process world is NODES and the data mesh
+    spans NODES x local-chip-count devices — the same global batch layout
+    with a flatter process tree.  DEVICES_PER_NODE therefore does not enter
+    the process count; it is validated against the realized local device
+    count after initialization (see ``initialize_distributed``).
+
+    Returns ``(kwargs, cautions)`` — pure, unit-testable, no backend use.
     """
-    if distributed.get('BACKEND') not in (None, 'xla'):
-        print(CAUTION("Distributed backend '{}' is ignored on TPU: XLA owns the "
-                      "interconnect (ICI/DCN collectives).".format(distributed.get('BACKEND'))))
-    coordinator = '{}:{}'.format(distributed['MASTER_ADDR'], distributed['MASTER_PORT'])
-    jax.distributed.initialize(coordinator_address=coordinator,
-                               num_processes=distributed['NODES'],
-                               process_id=distributed['NODE_ID'])
+    cautions = []
+    backend = distributed.get('BACKEND')
+    if backend not in (None, 'xla'):
+        cautions.append("Distributed backend '{}' is ignored on TPU: XLA owns the "
+                        "interconnect (ICI/DCN collectives).".format(backend))
+    init_method = (distributed.get('INIT_METHOD') or '').strip()
+    if init_method and init_method != 'env://':
+        cautions.append("INIT_METHOD '{}' is ignored: jax.distributed rendezvous "
+                        "always goes through the coordinator address.".format(init_method))
+    kwargs = dict(
+        coordinator_address='{}:{}'.format(distributed['MASTER_ADDR'],
+                                           distributed['MASTER_PORT']),
+        num_processes=int(distributed['NODES']),
+        process_id=int(distributed['NODE_ID']))
+    return kwargs, cautions
+
+
+def initialize_distributed(distributed: dict):
+    """Initialize multi-host JAX from the reference's --distributed tuple."""
+    kwargs, cautions = distributed_init_kwargs(distributed)
+    for message in cautions:
+        print(CAUTION(message))
+    jax.distributed.initialize(**kwargs)
+    expected_local = int(distributed.get('DEVICES_PER_NODE') or 0)
+    if expected_local and expected_local != jax.local_device_count():
+        print(CAUTION("DEVICES_PER_NODE={} but this process drives {} local "
+                      "device(s); on TPU one process owns every local chip, so "
+                      "the effective world is NODES processes x local chips."
+                      .format(expected_local, jax.local_device_count())))

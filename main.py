@@ -126,96 +126,98 @@ def parse_cmdline_and_invoke_main(args):
             description="TPU-native implementation of 'Dual Super Resolution Learning For Semantic Segmentation', CVPR 2020 paper.")
         command_parser = parser.add_subparsers(title='commands', dest='command', required=True)
 
-        train_parser = command_parser.add_parser('train', help="Train model for different stages")
-        train_parser.add_argument('--device', default=settings.DEFAULT_DEVICE, type=str.casefold, choices=settings.SUPPORTED_DEVICES, help="Device to create model in, cpu/tpu")
-        train_parser.add_argument('--distributed', required=False, nargs=7, metavar=('MASTER_ADDR', 'MASTER_PORT', 'NODES', 'DEVICES_PER_NODE', 'BACKEND', 'INIT_METHOD', 'NODE_ID'), const=settings.SUPPORTED_DISTRIBUTED_BACKENDS, action=ValidateDistributedTrainingOptions, help="Enable distributed training")
-        train_parser.add_argument('--mixed-precision', default=settings.DEFAULT_AMP_OPTIMIZATION_OPTION, type=str.upper, choices=[x for x in settings.AMP_OPTIMIZATION_OPTIONS if x], help="Enable bf16 mixed precision (apex opt-level strings accepted for compatibility)")
+        train_parser = command_parser.add_parser('train', help="Train a stage of the DSRL model")
+        train_parser.add_argument('--device', default=settings.DEFAULT_DEVICE, type=str.casefold, choices=settings.SUPPORTED_DEVICES, help="Backend the model runs on (cpu or tpu)")
+        train_parser.add_argument('--distributed', required=False, nargs=7, metavar=('MASTER_ADDR', 'MASTER_PORT', 'NODES', 'DEVICES_PER_NODE', 'BACKEND', 'INIT_METHOD', 'NODE_ID'), const=settings.SUPPORTED_DISTRIBUTED_BACKENDS, action=ValidateDistributedTrainingOptions, help="Multi-host training topology (reference DDP tuple; NODES/NODE_ID map to jax.distributed)")
+        train_parser.add_argument('--mixed-precision', default=settings.DEFAULT_AMP_OPTIMIZATION_OPTION, type=str.upper, choices=[x for x in settings.AMP_OPTIMIZATION_OPTIONS if x], help="bf16 mixed-precision compute; apex opt-level strings (O0-O3) are accepted and mapped")
         train_parser.add_argument('--disable-cudnn-benchmark', action='store_true', help="Accepted for CLI compatibility; no-op on TPU")
         train_parser.add_argument('--profile', action='store_true', help="Enable JAX profiling (TensorBoard/Perfetto trace)")
-        train_parser.add_argument('--num-workers', default=settings.DEFAULT_NUM_WORKERS, type=int, help="No. of workers for data loader")
-        train_parser.add_argument('--dataset', required=True, type=str.casefold, choices=settings.DATASETS.keys(), help="Dataset to operate on")
-        train_parser.add_argument('--val-interval', default=settings.DEFAULT_VAL_INTERVAL, type=int, help="Epoch intervals after which to perform validation")
-        train_parser.add_argument('--checkpoint-interval', default=settings.DEFAULT_CHECKPOINT_INTERVAL, type=int, help="Epoch intervals to create checkpoint after in training")
-        train_parser.add_argument('--checkpoint-history', default=settings.DEFAULT_CHECKPOINT_HISTORY, type=int, help="No. of latest autosaved checkpoints to keep while deleting old ones, 0 to disable autosave")
-        train_parser.add_argument('--init-weights', default=None, type=str, help="Load initial weights file for model")
-        train_parser.add_argument('--batch-size', default=settings.DEFAULT_BATCH_SIZE, type=int, help="Per-device batch size to use for training and testing")
-        train_parser.add_argument('--epochs', required=True, type=int, help="No. of epochs to train")
-        train_parser.add_argument('--learning-rate', type=float, default=settings.DEFAULT_LEARNING_RATE, help="Learning rate to begin training with")
-        train_parser.add_argument('--end-learning-rate', type=float, default=settings.DEFAULT_END_LEARNING_RATE, help="End learning rate for the last epoch")
-        train_parser.add_argument('--momentum', type=float, default=settings.DEFAULT_MOMENTUM, help="Momentum value for SGD")
-        train_parser.add_argument('--weights-decay', type=float, default=settings.DEFAULT_WEIGHTS_DECAY, help="Weights decay for SGD")
-        train_parser.add_argument('--poly-power', type=float, default=settings.DEFAULT_POLY_POWER, help="Power for poly learning rate strategy")
-        train_parser.add_argument('--stage', required=True, type=int, choices=settings.STAGES, help="1: Train SSSR only\n2: Train SSSR+SISR\n3: Train SSSR+SISR with feature affinity")
-        train_parser.add_argument('--w1', type=float, default=settings.DEFAULT_LOSS_WEIGHTS[0], help="Weight for MSE loss")
-        train_parser.add_argument('--w2', type=float, default=settings.DEFAULT_LOSS_WEIGHTS[1], help="Weight for FA loss")
-        train_parser.add_argument('--freeze-batch-norm', action='store_true', help="Keep all Batch Normalization layers disabled while training")
-        train_parser.add_argument('--experiment-id', type=str, default='', help="Experiment ID which is used to create a root directory for weights and logs directories")
-        train_parser.add_argument('--description', type=str, default=None, help="Description of experiment to be saved in 'params.txt' with given commandline parameters")
-        train_parser.add_argument('--early-stopping', action='store_true', help="Automatically stop training when training error is less than validation error")
-        train_parser.add_argument('--dry-run', action='store_true', help="Disable actual training and validation code used to debug boilerplate code around them")
+        train_parser.add_argument('--num-workers', default=settings.DEFAULT_NUM_WORKERS, type=int, help="Host threads decoding/augmenting input batches")
+        train_parser.add_argument('--dataset', required=True, type=str.casefold, choices=settings.DATASETS.keys(), help="Registered dataset to train on")
+        train_parser.add_argument('--val-interval', default=settings.DEFAULT_VAL_INTERVAL, type=int, help="Run validation every N epochs")
+        train_parser.add_argument('--checkpoint-interval', default=settings.DEFAULT_CHECKPOINT_INTERVAL, type=int, help="Autosave a full checkpoint every N epochs")
+        train_parser.add_argument('--checkpoint-history', default=settings.DEFAULT_CHECKPOINT_HISTORY, type=int, help="How many autosaved checkpoints to retain (older ones are pruned); 0 disables autosaving")
+        train_parser.add_argument('--init-weights', default=None, type=str, help="Warm-start the model from this .checkpoint/.weights file")
+        train_parser.add_argument('--batch-size', default=settings.DEFAULT_BATCH_SIZE, type=int, help="Samples per device per step")
+        train_parser.add_argument('--epochs', required=True, type=int, help="Total epochs to train for")
+        train_parser.add_argument('--learning-rate', type=float, default=settings.DEFAULT_LEARNING_RATE, help="Initial SGD learning rate (poly-decayed per epoch)")
+        train_parser.add_argument('--end-learning-rate', type=float, default=settings.DEFAULT_END_LEARNING_RATE, help="Learning rate floor reached at the final epoch")
+        train_parser.add_argument('--momentum', type=float, default=settings.DEFAULT_MOMENTUM, help="SGD momentum coefficient")
+        train_parser.add_argument('--weights-decay', type=float, default=settings.DEFAULT_WEIGHTS_DECAY, help="SGD weight decay (L2)")
+        train_parser.add_argument('--poly-power', type=float, default=settings.DEFAULT_POLY_POWER, help="Exponent of the polynomial decay schedule")
+        train_parser.add_argument('--stage', required=True, type=int, choices=settings.STAGES, help="Training stage: 1 = segmentation only, 2 = + super-resolution branch, 3 = + feature-affinity loss")
+        train_parser.add_argument('--w1', type=float, default=settings.DEFAULT_LOSS_WEIGHTS[0], help="SISR MSE loss weight (stage >= 2)")
+        train_parser.add_argument('--w2', type=float, default=settings.DEFAULT_LOSS_WEIGHTS[1], help="Feature-affinity loss weight (stage 3)")
+        train_parser.add_argument('--freeze-batch-norm', action='store_true', help="Use running statistics in every BatchNorm during training (no stat updates)")
+        train_parser.add_argument('--experiment-id', type=str, default='', help="Name for this run; weights/logs land under experiments/<id>/")
+        train_parser.add_argument('--description', type=str, default=None, help="Free-text note recorded in the run's params.txt")
+        train_parser.add_argument('--early-stopping', action='store_true', help="Stop the run once average training loss drops below average validation loss")
+        train_parser.add_argument('--dry-run', action='store_true', help="Skip the network entirely (random outputs) to exercise the engine boilerplate")
         train_parser.add_argument('--debug-nans', action='store_true', help="Raise on the first NaN produced by any op (replaces the reference's per-step NaN asserts)")
         train_parser.add_argument('--yes', action='store_true', help="Assume 'yes' for interactive confirmations (non-interactive runs)")
 
-        config_train_parser = command_parser.add_parser('config-train', help="JSON configuration file that provides commandline parameters for training")
-        config_train_parser.add_argument('--file', required=True, type=str, help="Path to JSON configuration file")
+        config_train_parser = command_parser.add_parser('config-train', help="Launch 'train' with options taken from a JSON config file")
+        config_train_parser.add_argument('--file', required=True, type=str, help="JSON file whose keys/values become 'train' command-line options")
 
-        resume_train_parser = command_parser.add_parser('resume-train', help="Resume training model from checkpoint file")
-        resume_train_parser.add_argument('--checkpoint', required=True, type=str, help="Resume training with given checkpoint file")
-        resume_train_parser.add_argument('--distributed', required=False, nargs=7, metavar=('MASTER_ADDR', 'MASTER_PORT', 'NODES', 'DEVICES_PER_NODE', 'BACKEND', 'INIT_METHOD', 'NODE_ID'), const=settings.SUPPORTED_DISTRIBUTED_BACKENDS, action=ValidateDistributedTrainingOptions, help="Enable distributed training")
-        resume_train_parser.add_argument('--dataset', required=True, type=str.casefold, choices=settings.DATASETS.keys(), help="Dataset to operate on")
+        resume_train_parser = command_parser.add_parser('resume-train', help="Continue an interrupted run from its autosaved checkpoint")
+        resume_train_parser.add_argument('--checkpoint', required=True, type=str, help="The .checkpoint file to continue training from (hyperparameters come from it)")
+        resume_train_parser.add_argument('--distributed', required=False, nargs=7, metavar=('MASTER_ADDR', 'MASTER_PORT', 'NODES', 'DEVICES_PER_NODE', 'BACKEND', 'INIT_METHOD', 'NODE_ID'), const=settings.SUPPORTED_DISTRIBUTED_BACKENDS, action=ValidateDistributedTrainingOptions, help="Multi-host training topology (reference DDP tuple; NODES/NODE_ID map to jax.distributed)")
+        resume_train_parser.add_argument('--dataset', required=True, type=str.casefold, choices=settings.DATASETS.keys(), help="Registered dataset to train on")
 
-        test_parser = command_parser.add_parser('test', help="Test trained weights with a single input image")
+        test_parser = command_parser.add_parser('test', help="Run inference and save colorized segmentation visualizations")
         test_source = test_parser.add_mutually_exclusive_group(required=True)
-        test_source.add_argument('--image-file', type=str, help="Run evaluation on a image file using trained weights")
-        test_source.add_argument('--images-dir', type=str, help="Run evaluation on image files (JPG and PNG) in specified directory")
-        test_source.add_argument('--dataset', nargs=3, metavar=('DATASET', 'SPLIT', 'STARTING_INDEX'), const=settings.DATASETS, action=ValidateDatasetNameSplitAndIndex, help="Dataset, split and starting index to test from")
-        test_parser.add_argument('--output-dir', type=str, default=settings.OUTPUTS_DIR, help="Specify directory where testing results are saved")
-        test_parser.add_argument('--weights', required=True, type=str, help="Weights file to use")
-        test_parser.add_argument('--device', default=settings.DEFAULT_DEVICE, type=str.casefold, choices=settings.SUPPORTED_DEVICES, help="Device to create model in, cpu/tpu")
+        test_source.add_argument('--image-file', type=str, help="Segment a single image file")
+        test_source.add_argument('--images-dir', type=str, help="Segment every JPG/PNG in a directory")
+        test_source.add_argument('--dataset', nargs=3, metavar=('DATASET', 'SPLIT', 'STARTING_INDEX'), const=settings.DATASETS, action=ValidateDatasetNameSplitAndIndex, help="Walk a dataset split, starting at the given index")
+        test_parser.add_argument('--output-dir', type=str, default=settings.OUTPUTS_DIR, help="Where to write the visualization PNGs")
+        test_parser.add_argument('--weights', required=True, type=str, help="Trained .checkpoint/.weights file (or compiled model with --compiled-model)")
+        test_parser.add_argument('--device', default=settings.DEFAULT_DEVICE, type=str.casefold, choices=settings.SUPPORTED_DEVICES, help="Backend the model runs on (cpu or tpu)")
         test_parser.add_argument('--disable-cudnn-benchmark', action='store_true', help="Accepted for CLI compatibility; no-op on TPU")
         test_parser.add_argument('--profile', action='store_true', help="Enable JAX profiling")
-        test_parser.add_argument('--compiled-model', action='store_true', help="Using compiled model in '--weights' made using 'compile-model' command")
+        test_parser.add_argument('--compiled-model', action='store_true', help="Treat --weights as an AOT bundle produced by compile-model")
+        test_parser.add_argument('--show', action='store_true', help="Open each visualization in the system image viewer after saving it")
+        test_parser.add_argument('--no-interactive', action='store_true', help="In dataset mode, do not pause for ENTER between images")
 
-        purge_weights_logs = command_parser.add_parser('purge-weights-logs', help="Delete all training weights and logs")
+        purge_weights_logs = command_parser.add_parser('purge-weights-logs', help="Delete saved weights and logs for one stage or all stages")
         purge_weights_logs_type = purge_weights_logs.add_mutually_exclusive_group(required=True)
-        purge_weights_logs_type.add_argument('--stage', type=int, choices=settings.STAGES, help="Stage for which to delete weights and logs")
-        purge_weights_logs_type.add_argument('--all', action='store_true', help="Delete weights and logs for all stages")
+        purge_weights_logs_type.add_argument('--stage', type=int, choices=settings.STAGES, help="Only purge this stage")
+        purge_weights_logs_type.add_argument('--all', action='store_true', help="Purge every stage")
         purge_weights_logs.add_argument('--yes', action='store_true', help="Assume 'yes' for the confirmation prompt")
 
-        print_model_parser = command_parser.add_parser('print-model', help="Prints all the layers in the model with extra information for a stage")
-        print_model_parser.add_argument('--stage', required=True, type=int, choices=settings.STAGES, help="Stage to print layers of model for")
-        print_model_parser.add_argument('--dataset', type=str.casefold, choices=settings.DATASETS.keys(), default=list(settings.DATASETS.keys())[0], help="Dataset settings to use")
+        print_model_parser = command_parser.add_parser('print-model', help="Show the model's layer table and parameter counts for a stage")
+        print_model_parser.add_argument('--stage', required=True, type=int, choices=settings.STAGES, help="Stage whose subgraph is instantiated")
+        print_model_parser.add_argument('--dataset', type=str.casefold, choices=settings.DATASETS.keys(), default=list(settings.DATASETS.keys())[0], help="Dataset whose class count/normalization settings apply")
 
         # Both the reference's misspelled public command name and the correct one.
         for prune_cmd in ['purne-weights', 'prune-weights']:
-            prune_parser = command_parser.add_parser(prune_cmd, help="Removes all weights from a weights file which are not needed for inference")
-            prune_parser.add_argument('--src-weights', required=True, type=str, help="Checkpoint/Weights file to prune")
-            prune_parser.add_argument('--dest-weights', required=True, type=str, help="New weights file to write to")
-            prune_parser.add_argument('--dataset', type=str.casefold, choices=settings.DATASETS.keys(), default=list(settings.DATASETS.keys())[0], help="Dataset settings to use")
+            prune_parser = command_parser.add_parser(prune_cmd, help="Strip training-only parameters (SISR/FA branches, optimizer state) for deployment")
+            prune_parser.add_argument('--src-weights', required=True, type=str, help="Input .checkpoint/.weights file")
+            prune_parser.add_argument('--dest-weights', required=True, type=str, help="Output inference .weights file")
+            prune_parser.add_argument('--dataset', type=str.casefold, choices=settings.DATASETS.keys(), default=list(settings.DATASETS.keys())[0], help="Dataset whose class count/normalization settings apply")
             prune_parser.add_argument('--torch-format', action='store_true', help="Write a torch-zip .pth loadable by torch.load (interop export)")
             prune_parser.add_argument('--yes', action='store_true', help="Assume 'yes' for overwrite confirmation")
 
-        inspect_checkpoint_parser = command_parser.add_parser('inspect-checkpoint', help="View contents of a checkpoint file")
-        inspect_checkpoint_parser.add_argument('--checkpoint', required=True, type=str, help="Checkpoint file to view contents of")
+        inspect_checkpoint_parser = command_parser.add_parser('inspect-checkpoint', help="Print a checkpoint's hyperparameters and bookkeeping")
+        inspect_checkpoint_parser.add_argument('--checkpoint', required=True, type=str, help="The .checkpoint file to inspect")
 
-        edit_checkpoint_parser = command_parser.add_parser('edit-checkpoint', help="Edit contents of a checkpoint file")
-        edit_checkpoint_parser.add_argument('--checkpoint', required=True, type=str, help="Checkpoint file to edit contents of")
-        edit_checkpoint_parser.add_argument('--key', required=True, type=str, help="Specify key of the dictionary of checkpoint to edit")
-        edit_checkpoint_parser.add_argument('--value', required=True, type=str, help="Specify value of the key to edit")
-        edit_checkpoint_parser.add_argument('--typeof', required=True, type=str, help="Specify type of the specified value")
+        edit_checkpoint_parser = command_parser.add_parser('edit-checkpoint', help="Overwrite one key in a checkpoint file")
+        edit_checkpoint_parser.add_argument('--checkpoint', required=True, type=str, help="The .checkpoint file to modify")
+        edit_checkpoint_parser.add_argument('--key', required=True, type=str, help="Checkpoint dictionary key to set")
+        edit_checkpoint_parser.add_argument('--value', required=True, type=str, help="New value (parsed as --typeof)")
+        edit_checkpoint_parser.add_argument('--typeof', required=True, type=str, help="Python type name the value is coerced to (str/int/float/bool)")
 
-        benchmark_parser = command_parser.add_parser('benchmark', help="Benchmarks model weights to produce metric results")
-        benchmark_parser.add_argument('--weights', required=True, type=str, help="Weights to use")
-        benchmark_parser.add_argument('--dataset', required=True, nargs=2, metavar=('DATASET', 'SPLIT'), action=ValidateDatasetNameAndSplit, const=settings.DATASETS, help="Dataset and split to operate on")
-        benchmark_parser.add_argument('--device', default=settings.DEFAULT_DEVICE, type=str.casefold, choices=settings.SUPPORTED_DEVICES, help="Device to create model in, cpu/tpu")
+        benchmark_parser = command_parser.add_parser('benchmark', help="Evaluate weights over a dataset split (CE, mIoU, accuracy, throughput)")
+        benchmark_parser.add_argument('--weights', required=True, type=str, help="Trained .checkpoint/.weights file")
+        benchmark_parser.add_argument('--dataset', required=True, nargs=2, metavar=('DATASET', 'SPLIT'), action=ValidateDatasetNameAndSplit, const=settings.DATASETS, help="Dataset name and split to evaluate")
+        benchmark_parser.add_argument('--device', default=settings.DEFAULT_DEVICE, type=str.casefold, choices=settings.SUPPORTED_DEVICES, help="Backend the model runs on (cpu or tpu)")
         benchmark_parser.add_argument('--disable-cudnn-benchmark', action='store_true', help="Accepted for CLI compatibility; no-op on TPU")
-        benchmark_parser.add_argument('--num-workers', default=settings.DEFAULT_NUM_WORKERS, type=int, help="Number of workers for data loader")
-        benchmark_parser.add_argument('--batch-size', default=settings.DEFAULT_BATCH_SIZE, type=int, help="Batch size to use for benchmarking")
+        benchmark_parser.add_argument('--num-workers', default=settings.DEFAULT_NUM_WORKERS, type=int, help="Host threads decoding input batches")
+        benchmark_parser.add_argument('--batch-size', default=settings.DEFAULT_BATCH_SIZE, type=int, help="Samples per device per evaluation step")
 
-        compile_model_parser = command_parser.add_parser('compile-model', help="AOT-compiles given model (StableHLO export) and outputs a compiled file")
-        compile_model_parser.add_argument('--weights', required=True, type=str, help="Weights to use")
-        compile_model_parser.add_argument('--output-file', required=True, type=str, help="Output file to compile the model to")
-        compile_model_parser.add_argument('--dataset', type=str.casefold, choices=settings.DATASETS.keys(), default=list(settings.DATASETS.keys())[0], help="Dataset settings to use")
+        compile_model_parser = command_parser.add_parser('compile-model', help="Export the stage-1 model as a serialized StableHLO bundle for deployment")
+        compile_model_parser.add_argument('--weights', required=True, type=str, help="Trained .checkpoint/.weights file")
+        compile_model_parser.add_argument('--output-file', required=True, type=str, help="Where the compiled bundle is written")
+        compile_model_parser.add_argument('--dataset', type=str.casefold, choices=settings.DATASETS.keys(), default=list(settings.DATASETS.keys())[0], help="Dataset whose class count/normalization settings apply")
 
         args = parser.parse_args(args)
 
@@ -286,6 +288,14 @@ def parse_cmdline_and_invoke_main(args):
                 raise argparse.ArgumentTypeError("Please specify a '.checkpoint' file as the whole model and optimizer states needs to be loaded!")
             if not os.path.isfile(args.checkpoint):
                 raise argparse.ArgumentTypeError("Couldn't find checkpoint file '{0:s}'!".format(args.checkpoint))
+            # Resume runs on the device the checkpoint was trained with (the
+            # reference re-applies every checkpointed hyperparameter,
+            # main.py:48-52); peek before the platform is selected below.
+            try:
+                args.device = load_checkpoint_or_weights(args.checkpoint).get(
+                    'device', settings.DEFAULT_DEVICE)
+            except Exception:
+                pass
 
         elif args.command == 'test':
             if args.image_file and not os.path.isfile(args.image_file):

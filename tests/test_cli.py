@@ -9,6 +9,7 @@ Covers the full command surface: train -> resume-train -> benchmark -> test
 import glob
 import json
 import os
+import re
 
 import numpy as np
 import pytest
@@ -50,6 +51,14 @@ def test_train_stage1_end_to_end(workdir):
     assert os.path.isfile(os.path.join('logs', 'stage1', 'train', 'stdout.txt'))
     # TensorBoard event files written
     assert glob.glob(os.path.join('logs', 'stage1', 'train', 'events.out.tfevents.*'))
+    # The engine must actually LEARN: epoch-2 average train CE below epoch-1.
+    stdout = open(os.path.join('logs', 'stage1', 'train', 'stdout.txt')).read()
+    train_ce = [float(re.search(r"Avg\. CE: ([0-9.]+)", line).group(1))
+                for line in stdout.splitlines()
+                if line.startswith('Avg. CE:') and 'Accuracy' not in line]
+    assert len(train_ce) == 2, stdout
+    assert train_ce[1] < train_ce[0], \
+        "train CE did not decrease across epochs: {}".format(train_ce)
 
 
 def test_resume_train(workdir):

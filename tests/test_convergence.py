@@ -1,0 +1,123 @@
+"""Synthetic convergence tests: the training recipe must actually LEARN.
+
+The reference never ships tests, but its north-star target is a val-mIoU
+recipe (/root/reference/README.md:10-16).  A sign/LR/BN-threading bug would
+pass every structural parity test and still never converge, so here we
+overfit a tiny fixed dataset (4 synthetic images whose pixel colors encode
+the class) and assert the losses collapse and train-set accuracy climbs —
+the cheapest possible guard on the learning dynamics of the full
+forward/backward/SGD/BN pipeline.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dualsuperreslearningforsemseg_tpu.datasets import cityscapes as cs
+from dualsuperreslearningforsemseg_tpu.models import DSRL
+from dualsuperreslearningforsemseg_tpu.parallel import make_mesh, replicate, shard_batch
+from dualsuperreslearningforsemseg_tpu.train import (sgd_init, make_train_step,
+                                                     make_eval_step, TrainState)
+
+IN_HW = (32, 64)
+OUT_HW = (64, 128)
+
+
+def _synthetic_overfit_batch(rng, n=4, num_classes=cs.NUM_CLASSES):
+    """Images whose colors deterministically encode the target class: a grid
+    of blocks, each block one class, image = class color + small noise."""
+    h, w = OUT_HW
+    block_row = np.arange(h)[:, None] // (h // 2)
+    block_col = np.arange(w)[None, :] // (w // 8)
+    seg = ((block_row * 8 + block_col) * 5 % num_classes).astype(np.int32)
+    seg = np.tile(seg[None], (n, 1, 1))
+    palette = rng.uniform(-1.0, 1.0, (num_classes, 3)).astype(np.float32)
+    img_hi = palette[seg] + rng.normal(0.0, 0.02, (n, h, w, 3)).astype(np.float32)
+    img_lo = img_hi[:, ::2, ::2].copy()
+    return img_lo.astype(np.float32), img_hi.astype(np.float32), seg
+
+
+def _fit(stage, steps, lr, rng):
+    model = DSRL(stage=stage, num_classes=cs.NUM_CLASSES)
+    mesh = make_mesh(jax.devices()[:1])
+    rngs = {'params': jax.random.PRNGKey(0), 'dropout': jax.random.PRNGKey(1)}
+    variables = model.init(rngs, jnp.zeros((1, *IN_HW, 3), jnp.float32), False)
+    state = TrainState(params=replicate(variables['params'], mesh),
+                       batch_stats=replicate(variables['batch_stats'], mesh),
+                       momentum=replicate(sgd_init(variables['params']), mesh))
+    train_step = make_train_step(model, stage=stage, w1=0.1, w2=1.0, momentum=0.9,
+                                 weight_decay=0.0005,
+                                 ignore_label=cs.IGNORE_CLASS_LABEL, mesh=mesh)
+
+    img_lo, img_hi, seg = _synthetic_overfit_batch(rng)
+    img_lo, img_hi = shard_batch((jnp.asarray(img_lo), jnp.asarray(img_hi)), mesh)
+    seg = shard_batch(jnp.asarray(seg), mesh)
+
+    key = jax.random.PRNGKey(7)
+    history = []
+    for step in range(steps):
+        key, step_key = jax.random.split(key)
+        state, losses = train_step(state, img_lo, img_hi, seg,
+                                   jnp.float32(lr), step_key)
+        history.append({k: float(v) for k, v in losses.items()})
+    # Settle the BN running statistics onto the FINAL parameters: lr=0 steps
+    # leave params untouched but keep updating the stat EMAs, closing the
+    # small-batch train/eval BN gap before the eval-path accuracy check.
+    for _ in range(40):
+        key, step_key = jax.random.split(key)
+        state, _ = train_step(state, img_lo, img_hi, seg,
+                              jnp.float32(0.0), step_key)
+    return model, state, (img_lo, img_hi, seg), history
+
+
+def test_stage1_overfits_synthetic_images(rng):
+    model, state, (img_lo, img_hi, seg), history = _fit(stage=1, steps=80,
+                                                        lr=0.2, rng=rng)
+    first_ce, last_ce = history[0]['CE'], history[-1]['CE']
+    assert np.isfinite(last_ce), "training diverged: CE = {}".format(last_ce)
+    # Random 19-way start is ~ln(19)=2.94 nats; an overfit run must collapse.
+    assert last_ce < 0.4, \
+        "stage-1 recipe failed to overfit 4 images: CE {:.3f} -> {:.3f}".format(first_ce, last_ce)
+    assert last_ce < 0.15 * first_ce
+
+    # The learned function itself (batch-stat normalization, i.e. the stats
+    # training optimized against) must classify the training pixels: chance
+    # is 1/19 = 5.3%.
+    outs, _ = model.apply(
+        {'params': state.params, 'batch_stats': state.batch_stats},
+        img_lo, True, False, False, rngs={'dropout': jax.random.PRNGKey(99)},
+        mutable=['batch_stats'])
+    train_mode_acc = float(jnp.mean(
+        (jnp.argmax(outs[0], axis=-1) == seg).astype(jnp.float32))) * 100.0
+    assert train_mode_acc > 85.0, \
+        "train-set accuracy stuck at {:.1f}%".format(train_mode_acc)
+
+    # The eval path (running-average BN stats, settled by the lr=0 tail of
+    # _fit) lags the batch stats a little at this tiny batch size but must
+    # land far above chance too.
+    eval_step = make_eval_step(model, stage=1, w1=0.1, w2=1.0,
+                               num_classes=cs.NUM_CLASSES,
+                               ignore_label=cs.IGNORE_CLASS_LABEL)
+    mask = jnp.ones((img_lo.shape[0],), jnp.float32)
+    _, _, _, (correct, valid) = eval_step(state.params, state.batch_stats,
+                                          img_lo, img_hi, seg, mask)
+    eval_acc = float(correct) / float(valid) * 100.0
+    assert eval_acc > 55.0, \
+        "eval-path train-set accuracy stuck at {:.1f}%".format(eval_acc)
+
+
+def test_stage3_all_losses_decrease(rng):
+    _, _, _, history = _fit(stage=3, steps=80, lr=0.2, rng=rng)
+    first, last = history[0], history[-1]
+    assert all(np.isfinite(v) for v in last.values()), \
+        "training diverged: {}".format(last)
+    assert last['CE'] < 0.5 * first['CE'], \
+        "stage-3 CE did not learn: {:.3f} -> {:.3f}".format(first['CE'], last['CE'])
+    # SISR regresses the 2x image: MSE must fall well below its start.
+    assert last['MSE'] < 0.5 * first['MSE'], \
+        "SISR branch did not learn: {:.4f} -> {:.4f}".format(first['MSE'], last['MSE'])
+    mean_early_fa = np.mean([h['FA'] for h in history[:10]])
+    mean_late_fa = np.mean([h['FA'] for h in history[-10:]])
+    assert mean_late_fa < mean_early_fa * 1.05, \
+        "FA loss trending up: {:.4f} -> {:.4f}".format(mean_early_fa, mean_late_fa)
