@@ -244,11 +244,15 @@ def _stage1_eval_throughput():
 
 
 def main():
+    global BATCH
     parser = argparse.ArgumentParser()
     parser.add_argument('--stage', type=int, default=3, choices=(1, 2, 3))
+    parser.add_argument('--batch', type=int, default=BATCH,
+                        help="Per-chip batch size (default {})".format(BATCH))
     parser.add_argument('--skip-extras', action='store_true',
                         help="Measure only the training-throughput metric")
     args = parser.parse_args()
+    BATCH = args.batch
 
     import jax
     try:

@@ -42,7 +42,7 @@ from ..metrics import mIoU, Accuracy, AverageMeter
 from ..models import DSRL, PolynomialLR, state_dict, load_state_dict, count_params
 from ..ops.colorize import make_input_output_visualization
 from ..parallel import (make_mesh, batch_sharding, replicate, is_master_rank,
-                        initialize_distributed)
+                        initialize_distributed, rendezvous_barrier)
 from ..train import (sgd_init, make_train_step, make_eval_step, TrainState,
                      optimizer_state_dict, load_optimizer_state_dict)
 from ..utils import (INFO, CAUTION, FATAL, ConditionalContextManager,
@@ -111,12 +111,15 @@ def train_or_resume(is_resuming_training, device, distributed, mixed_precision,
         initialize_distributed(distributed)
     master = is_master_rank()
 
+    # Every rank tracks the best-val state (it feeds the validation summary,
+    # which runs collectively); only the master acts on it (checkpoint I/O).
+    if is_resuming_training:
+        best_validation_dict = other_args['best_validation_dict']
+    else:
+        best_validation_dict = {'epoch': -1, 'best_miou_percent': 0., 'loss': 0.}
+
     if master:
         process_start_timestamp = datetime.now()
-        if is_resuming_training:
-            best_validation_dict = other_args['best_validation_dict']
-        else:
-            best_validation_dict = {'epoch': -1, 'best_miou_percent': 0., 'loss': 0.}
         if prevent_system_sleep():
             print(INFO("System will NOT be allowed to sleep until this training is complete/interrupted."))
 
@@ -168,6 +171,10 @@ def train_or_resume(is_resuming_training, device, distributed, mixed_precision,
     if resume_opt_state is not None:
         momentum_buffers = load_optimizer_state_dict(momentum_buffers, resume_opt_state)
 
+    # Align ranks before the first cross-process collective (the replicated
+    # device_put below): host init / zoo loading skews ranks by far more
+    # than the communicator's initialization window.
+    rendezvous_barrier('pre-replicate')
     state = TrainState(params=replicate(params, mesh),
                        batch_stats=replicate(batch_stats, mesh),
                        momentum=replicate(momentum_buffers, mesh))

@@ -1,7 +1,8 @@
 from .mesh import (make_mesh, batch_sharding, replicated_sharding,
                    shard_batch, replicate, is_master_rank,
-                   initialize_distributed, distributed_init_kwargs)
+                   initialize_distributed, distributed_init_kwargs,
+                   rendezvous_barrier)
 
 __all__ = ['make_mesh', 'batch_sharding', 'replicated_sharding', 'shard_batch',
            'replicate', 'is_master_rank', 'initialize_distributed',
-           'distributed_init_kwargs']
+           'distributed_init_kwargs', 'rendezvous_barrier']

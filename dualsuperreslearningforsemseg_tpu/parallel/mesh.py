@@ -83,6 +83,23 @@ def distributed_init_kwargs(distributed: dict):
     return kwargs, cautions
 
 
+def rendezvous_barrier(name: str, timeout_ms: int = 1_200_000):
+    """Align every process at a coordination-service barrier (pure gRPC, no
+    device collective).  Used immediately before the FIRST cross-process
+    collective: its communicator initialization has a hard ~30 s window (XLA
+    CPU gloo context / KV lookups), while host-side model init, zoo-weight
+    loading and tracing can skew ranks by minutes."""
+    if jax.process_count() <= 1:
+        return
+    try:
+        from jax._src import distributed as _distributed
+        client = getattr(_distributed.global_state, 'client', None)
+        if client is not None:
+            client.wait_at_barrier('dsrl_' + name, timeout_ms)
+    except Exception as exc:  # barrier is best-effort; collectives still sync
+        print(CAUTION("Rendezvous barrier '{}' unavailable: {}".format(name, exc)))
+
+
 def initialize_distributed(distributed: dict):
     """Initialize multi-host JAX from the reference's --distributed tuple."""
     kwargs, cautions = distributed_init_kwargs(distributed)

@@ -79,4 +79,8 @@ class ValidateDistributedTrainingOptions(argparse.Action):
             raise ValueError("Node id must be an integer greater or equal to 0!")
         node_id = int(node_id)
 
-        setattr(namespace, self.dest, [master_addr, master_port, nodes, devices_per_node, backend, init_method, node_id])
+        # Stored as the mapping parallel.distributed_init_kwargs consumes.
+        setattr(namespace, self.dest, dict(
+            MASTER_ADDR=master_addr, MASTER_PORT=master_port, NODES=nodes,
+            DEVICES_PER_NODE=devices_per_node, BACKEND=backend,
+            INIT_METHOD=init_method, NODE_ID=node_id))
