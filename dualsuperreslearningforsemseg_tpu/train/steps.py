@@ -74,8 +74,13 @@ def make_train_step(model, stage: int, w1: float, w2: float, momentum: float,
             new_stats = mutated['batch_stats']
 
         if grouped and not dry_run:
-            from ..ops.conv import group_labels
+            from ..ops.conv import group_labels, pixel_unshuffle
             seg = group_labels(seg, 4)
+            if stage > 1:
+                # SISR stays pre-shuffle; unshuffle the TARGET instead (MSE
+                # is permutation-invariant and the no-grad side's transpose
+                # fuses into the reduction).
+                img_hi = pixel_unshuffle(img_hi, 8)
         ce = cross_entropy_loss(sssr, seg, ignore_label)
         mse = w1 * mse_loss(sisr, img_hi) if stage > 1 else jnp.float32(0)
         fa = w2 * fa_loss(sssr_t, sisr_t) if stage > 2 else jnp.float32(0)

@@ -5,8 +5,9 @@ import jax
 import jax.numpy as jnp
 
 from dualsuperreslearningforsemseg_tpu.models import DSRL
-from dualsuperreslearningforsemseg_tpu.ops.conv import ungroup_2x2, group_labels
-from dualsuperreslearningforsemseg_tpu.losses import cross_entropy_loss
+from dualsuperreslearningforsemseg_tpu.ops.conv import (ungroup_2x2, group_labels,
+                                                        pixel_shuffle, pixel_unshuffle)
+from dualsuperreslearningforsemseg_tpu.losses import cross_entropy_loss, mse_loss
 
 
 def test_grouped_outputs_equal_plain(rng):
@@ -23,9 +24,14 @@ def test_grouped_outputs_equal_plain(rng):
     assert grouped[0].shape == (2, hw[0] // 2, hw[1] // 2, 16, 19)
     np.testing.assert_allclose(np.asarray(ungroup_2x2(grouped[0])),
                                np.asarray(plain[0]), rtol=1e-5, atol=1e-5)
-    # SISR identical
-    np.testing.assert_allclose(np.asarray(grouped[1]), np.asarray(plain[1]),
-                               rtol=1e-6, atol=1e-6)
+    # SISR: grouped output is pre-shuffle; shuffling it reproduces the plain
+    # full-res output, and the grouped MSE against an unshuffled target is
+    # the plain MSE (permutation invariance).
+    np.testing.assert_allclose(np.asarray(pixel_shuffle(grouped[1], 8)),
+                               np.asarray(plain[1]), rtol=1e-6, atol=1e-6)
+    target = jnp.asarray(rng.standard_normal(plain[1].shape, dtype=np.float32))
+    np.testing.assert_allclose(float(mse_loss(grouped[1], pixel_unshuffle(target, 8))),
+                               float(mse_loss(plain[1], target)), rtol=1e-5)
     # FA transforms identical (stride-8 == group-0 slice)
     np.testing.assert_allclose(np.asarray(grouped[2]), np.asarray(plain[2]),
                                rtol=1e-5, atol=1e-5)
@@ -41,10 +47,11 @@ def test_grouped_ce_equals_plain_ce(rng):
 
     ce_plain = float(cross_entropy_loss(logits_plain, seg, 255))
 
-    # group both consistently: logits (B,8,16,16,19), labels (B,8,16,16)
+    # group both consistently in the NESTED order (ops/conv.py): logits
+    # (B,8,16,16,19) with g=((i*2+j)*2+k)*2+l <-> pixel (4h+2i+k, 4w+2j+l).
     b, h, w, c = logits_plain.shape
-    lg = logits_plain.reshape(b, h // 4, 4, w // 4, 4, c)
-    lg = jnp.transpose(lg, (0, 1, 3, 2, 4, 5)).reshape(b, h // 4, w // 4, 16, c)
+    lg = logits_plain.reshape(b, h // 4, 2, 2, w // 4, 2, 2, c)   # (h,i,k,w,j,l)
+    lg = jnp.transpose(lg, (0, 1, 4, 2, 5, 3, 6, 7)).reshape(b, h // 4, w // 4, 16, c)
     sg = group_labels(seg, 4)
     ce_grouped = float(cross_entropy_loss(lg, sg, 255))
     # identical math, different f32 reduction order

@@ -70,6 +70,17 @@ def test_pixel_shuffle_matches_torch(rng):
     np.testing.assert_array_equal(ours, nhwc(theirs))
 
 
+def test_pixel_unshuffle_matches_torch(rng):
+    from dualsuperreslearningforsemseg_tpu.ops.conv import pixel_unshuffle
+    r = 4
+    x = rng.standard_normal((2, 3 * r, 5 * r, 3), dtype=np.float32)
+    ours = np.asarray(pixel_unshuffle(jnp.asarray(x), r))
+    theirs = t.nn.PixelUnshuffle(r)(t.from_numpy(nchw(x))).numpy()
+    np.testing.assert_array_equal(ours, nhwc(theirs))
+    # inverse of pixel_shuffle
+    np.testing.assert_array_equal(np.asarray(pixel_shuffle(jnp.asarray(ours), r)), x)
+
+
 def test_visualization_strip_shape_and_palette(rng):
     from dualsuperreslearningforsemseg_tpu.datasets import cityscapes as cs
     img = rng.integers(0, 255, size=(3, 16, 24)).astype(np.uint8)

@@ -65,12 +65,16 @@ def test_8dev_step_equals_1dev_step(rng, freeze_bn):
     devices = jax.devices()
     assert len(devices) >= 8, "conftest must provide the virtual 8-CPU mesh"
     batch = _global_batch(rng)
+    # Training-mode BN uses single-pass E[x^2]-mean^2 statistics whose
+    # cancellation error differs more between reduction orders; still two
+    # orders of magnitude under any semantic divergence.
+    atol = 1e-4 if freeze_bn else 1e-3
 
     params_8, stats_8, losses_8 = _run(devices[:8], batch, freeze_bn=freeze_bn)
     params_1, stats_1, losses_1 = _run(devices[:1], batch, freeze_bn=freeze_bn)
 
     for k in losses_1:
-        np.testing.assert_allclose(losses_8[k], losses_1[k], rtol=3e-3, atol=1e-4,
+        np.testing.assert_allclose(losses_8[k], losses_1[k], rtol=3e-3, atol=atol,
                                    err_msg="loss '{}' diverged".format(k))
 
     flat_8 = jax.tree_util.tree_leaves_with_path(params_8)
@@ -78,7 +82,7 @@ def test_8dev_step_equals_1dev_step(rng, freeze_bn):
     assert len(flat_8) == len(flat_1)
     for path, leaf_8 in flat_8:
         np.testing.assert_allclose(
-            np.asarray(leaf_8), np.asarray(flat_1[path]), rtol=3e-3, atol=1e-4,
+            np.asarray(leaf_8), np.asarray(flat_1[path]), rtol=3e-3, atol=atol,
             err_msg="params diverged after {} sharded steps at {}".format(
                 N_STEPS, jax.tree_util.keystr(path)))
 
@@ -86,5 +90,5 @@ def test_8dev_step_equals_1dev_step(rng, freeze_bn):
     stats_1_flat = dict(jax.tree_util.tree_leaves_with_path(stats_1))
     for path, leaf_8 in stats_8_flat:
         np.testing.assert_allclose(
-            np.asarray(leaf_8), np.asarray(stats_1_flat[path]), rtol=3e-3, atol=1e-4,
+            np.asarray(leaf_8), np.asarray(stats_1_flat[path]), rtol=3e-3, atol=atol,
             err_msg="batch stats diverged at {}".format(jax.tree_util.keystr(path)))
