@@ -81,6 +81,14 @@ def make_train_step(model, stage: int, w1: float, w2: float, momentum: float,
                 # is permutation-invariant and the no-grad side's transpose
                 # fuses into the reduction).
                 img_hi = pixel_unshuffle(img_hi, 8)
+        # NB: two Pallas CE kernels were built and measured against this XLA
+        # CE (round 2): a lane-sliced variant (125 img/s) and an MXU
+        # segment-matmul variant (171 img/s) — both lost to XLA's fused CE
+        # (195 img/s) because Pallas forces row-major operand layouts, which
+        # re-introduces the very relayout copies the kernel was meant to
+        # remove.  The ~12 ms/step of grouped-logits transpose copies remain
+        # an XLA layout-assignment artifact; revisit only with a kernel that
+        # also OWNS the producing matmul (fused ConvT+CE).
         ce = cross_entropy_loss(sssr, seg, ignore_label)
         mse = w1 * mse_loss(sisr, img_hi) if stage > 1 else jnp.float32(0)
         fa = w2 * fa_loss(sssr_t, sisr_t) if stage > 2 else jnp.float32(0)

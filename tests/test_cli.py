@@ -206,6 +206,31 @@ def test_checkpoint_history_pruning_and_early_stop(workdir):
                                        'stage1', 'final.weights'))
 
 
+def test_val_miou_climbs(workdir):
+    """END-TO-END learning signal through the real CLI: on the learnable
+    synthetic world (tile colors encode classes; val split has unseen
+    layouts) six epochs must grow val mIoU and accuracy well beyond their
+    epoch-1 values — the CLI-scale guard on the mIoU north star
+    (/root/reference/README.md:10-16)."""
+    # NB: per-device batch 1 on the virtual 8-device mesh = global batch 8,
+    # i.e. 2 optimizer steps per epoch over the 16 train images.
+    run_cli('train', '--device', 'cpu', '--dataset', 'cityscapes', '--stage', '1',
+            '--epochs', '20', '--batch-size', '1', '--val-interval', '4',
+            '--learning-rate', '0.1', '--checkpoint-interval', '50',
+            '--num-workers', '2', '--experiment-id', 'miou_climb', '--yes')
+    stdout = open(os.path.join('experiments', 'miou_climb', 'logs', 'stage1',
+                               'train', 'stdout.txt')).read()
+    rows = re.findall(r"Avg\. CE: ([0-9.]+), Accuracy %: ([0-9.]+), mIoU %: ([0-9.]+)",
+                      stdout)
+    assert len(rows) == 5, stdout
+    ce = [float(r[0]) for r in rows]
+    acc = [float(r[1]) for r in rows]
+    miou = [float(r[2]) for r in rows]
+    assert miou[-1] > 1.3 * miou[0], "val mIoU did not climb: {}".format(miou)
+    assert acc[-1] > acc[0] + 4.0, "val accuracy did not climb: {}".format(acc)
+    assert ce[-1] < ce[0], "val CE did not fall: {}".format(ce)
+
+
 def test_prune_weights_torch_format(workdir):
     """--torch-format must emit a .pth that real torch.load can read."""
     import torch as t
