@@ -40,6 +40,7 @@ from .init import (kaiming_normal_fan_out_conv, kaiming_normal_fan_out_convtrans
 from ..ops.resize import resize_bilinear_matmul
 from ..ops.conv import (conv_transpose_2x2_stride2,
                         conv_transpose_2x2_stride2_grouped,
+                        conv_transpose_2x2_stride2_corner,
                         ungroup_2x2, pixel_shuffle)
 from ..consts import NUM_RGB_CHANNELS
 
@@ -67,7 +68,7 @@ class ConvTranspose2x2(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x, grouped: bool = False):
+    def __call__(self, x, grouped: bool = False, corner: bool = False):
         w = self.param('weight', kaiming_normal_fan_out_convtranspose,
                        (self.in_channels, self.out_channels, 2, 2), jnp.float32)
         b = None
@@ -77,6 +78,10 @@ class ConvTranspose2x2(nn.Module):
                            (self.out_channels,), jnp.float32)
         w = w.astype(x.dtype)
         b = None if b is None else b.astype(x.dtype)
+        if corner:
+            # Even-even output plane only (ops/conv.py): shares this module's
+            # parameters with the full evaluation.
+            return conv_transpose_2x2_stride2_corner(x, w, b)
         if grouped or x.ndim == 5:
             return conv_transpose_2x2_stride2_grouped(x, w, b)
         return conv_transpose_2x2_stride2(x, w, b)
@@ -108,7 +113,11 @@ class SSSRDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool, freeze_bn: bool = False,
-                 grouped: bool = False):
+                 grouped: bool = False, return_fa_corner: bool = False,
+                 pre_tail: bool = False):
+        """Returns the grouped/plain logits, or with ``return_fa_corner``
+        a ``(logits, fa_corner)`` pair; ``pre_tail`` swaps the logits for
+        the pre-final-ConvT activation (fused-tail training)."""
         use_ra = (not train) or freeze_bn
         det = not train
         y = _conv(256, 3, padding=1, name='cat_conv.0')(x)
@@ -134,9 +143,29 @@ class SSSRDecoder(nn.Module):
         y = TorchBatchNorm(self.num_classes, dtype=self.dtype, name='upsample16_pred.3')(y, use_ra)
         y = nn.relu(y)
         y = nn.Dropout(0.2, deterministic=det, name='upsample16_pred.5')(y)
-        y = ConvTranspose2x2(self.num_classes, self.num_classes, use_bias=True,
-                             name='upsample16_pred.6')(y, grouped=grouped)
-        return y
+        convt_final = ConvTranspose2x2(self.num_classes, self.num_classes, use_bias=True,
+                                       name='upsample16_pred.6')
+        if pre_tail:
+            # Fused-tail training mode: return the post-dropout PRE-ConvT
+            # activation; the train step runs the final ConvT fused with the
+            # CE loss (ops/pallas/fused_tail.py) using this module's
+            # 'upsample16_pred.6' parameters, so the full-size logits tensor
+            # never materializes.  Only meaningful in grouped training.
+            assert grouped, "pre_tail is a grouped-layout training mode"
+            out = y
+        else:
+            out = convt_final(y, grouped=grouped)
+        if not return_fa_corner:
+            return out
+        # Stride-8 sampling of the full-res logits for the FA transformer,
+        # computed from the (4x smaller) pre-ConvT activation: full-res pixel
+        # (8m, 8n) is this ConvT's (k=0, l=0) corner at grouped position
+        # (even h, even w, group 0).  Same shared parameters, exact same
+        # values as slicing `out` — but AD pads an (B,H,W,4,C) gradient here
+        # instead of the (B,H,W,16,C) logits (~8 ms/step cheaper on v5e).
+        assert grouped, "FA corner feed is a grouped-layout optimization"
+        fa_corner = convt_final(y[:, ::2, ::2, 0, :], corner=True)
+        return out, fa_corner
 
 
 class SISRDecoder(nn.Module):
@@ -163,8 +192,9 @@ class FeatureTransformer(nn.Module):
     """1x1 conv with stride 8 -> 1 channel + BN + ReLU (DSRL.py:87-95).
 
     ``stride`` is 8 on a plain full-res map; callers holding the grouped
-    layout pre-slice to the stride-8 pixel set and pass stride=1 — the
-    parameter shapes (and thus checkpoints) are identical either way."""
+    layout feed the pre-selected stride-8 pixel set (see SSSRDecoder's FA
+    corner feed) and pass stride=1 — the parameter shapes (and thus
+    checkpoints) are identical either way."""
     dtype: jnp.dtype = jnp.float32
     stride: int = 8
 
@@ -185,8 +215,9 @@ class DSRL(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, freeze_bn: bool = False,
-                 grouped: bool = False) -> Tuple[jnp.ndarray, Optional[jnp.ndarray],
-                                                 Optional[jnp.ndarray], Optional[jnp.ndarray]]:
+                 grouped: bool = False, pre_tail: bool = False
+                 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray],
+                            Optional[jnp.ndarray], Optional[jnp.ndarray]]:
         assert self.stage in (1, 2, 3), \
             "BUG CHECK: Unsupported stage {0} specified in DSRL.__init__().".format(self.stage)
         # Label the forward in profiler traces, like the reference's
@@ -194,18 +225,23 @@ class DSRL(nn.Module):
         with jax.named_scope('DSRL.forward'):
             x = x.astype(self.dtype)
             cat_features = FeatureExtractor(dtype=self.dtype, backbone_layers=self.backbone_layers, name='feature_extractor')(x, train, freeze_bn)
-            sssr_output = SSSRDecoder(self.num_classes, dtype=self.dtype, name='SSSR_decoder')(cat_features, train, freeze_bn, grouped)
+            want_fa_corner = grouped and self.stage > 2
+            sssr_output = SSSRDecoder(self.num_classes, dtype=self.dtype, name='SSSR_decoder')(
+                cat_features, train, freeze_bn, grouped,
+                return_fa_corner=want_fa_corner, pre_tail=pre_tail)
+            fa_corner = None
+            if want_fa_corner:
+                sssr_output, fa_corner = sssr_output
 
             sisr_output = sssr_t = sisr_t = None
             if self.stage > 1:
                 sisr_output = SISRDecoder(dtype=self.dtype, name='SISR_decoder')(cat_features, grouped)
                 if self.stage > 2:
                     if grouped:
-                        # stride-8 sampling of the full-res logits == group 0
-                        # (pixel (4h, 4w)) at even grouped-grid positions.
-                        sssr_strided = sssr_output[:, ::2, ::2, 0, :]
+                        # fa_corner IS the stride-8 sampling of the full-res
+                        # logits, computed pre-ConvT (see SSSRDecoder).
                         sssr_t = FeatureTransformer(dtype=self.dtype, stride=1,
-                                                    name='SSSR_feature_transformer')(sssr_strided, train, freeze_bn)
+                                                    name='SSSR_feature_transformer')(fa_corner, train, freeze_bn)
                         # stride-8 sampling of the full-res SISR RGB == the
                         # (i, j) = (0, 0) pre-shuffle channels [0, r*r, 2*r*r].
                         sisr_strided = sisr_output[..., ::64]

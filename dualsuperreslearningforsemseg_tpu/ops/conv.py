@@ -75,6 +75,30 @@ def conv_transpose_2x2_stride2_grouped(x: jnp.ndarray, weight: jnp.ndarray,
                        preferred_element_type=jnp.float32).astype(x.dtype)
         y = y.reshape(b, h, w, g * 4, cout)  # nested: g_new = g*4 + (k*2+l)
     if bias is not None:
+        # NB: AD's bias gradient is a serial reduce (~2.8 ms/step at
+        # (16,128,256,16,19) on v5e).  A custom-vjp dot-form gradient was
+        # built and traced — it LOST: the (-1, C) reshape + column-major
+        # dot operand layout cost ~9 ms/step in copies and broke CE fusion.
+        y = y + bias.astype(y.dtype)
+    return y
+
+
+def conv_transpose_2x2_stride2_corner(x: jnp.ndarray, weight: jnp.ndarray,
+                                      bias: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Only the (k=0, l=0) output position of ``ConvTranspose2d(k=2, s=2)``:
+    out[h, w] = full_out[2h, 2w] = x[h, w] @ W[:, :, 0, 0] (+ b).
+
+    A ConvT(2,2) writes each input pixel to a disjoint 2x2 block, so the
+    even-even output plane depends only on the corner weight slice — this
+    lets the FA transformer's stride-8 sampling of the logits be computed
+    from the (4x smaller) pre-ConvT activation with the SAME shared
+    parameters, exactly.  Slicing the full grouped logits instead makes AD
+    pad the 19-channel gradient back to full size, which cost ~8 ms/step of
+    layout copies at (16,128,256,16,19) bf16 on v5e."""
+    wc = weight[:, :, 0, 0].astype(x.dtype)       # (Cin, Cout)
+    y = jnp.einsum('bhwi,io->bhwo', x, wc,
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    if bias is not None:
         y = y + bias.astype(y.dtype)
     return y
 
@@ -114,16 +138,38 @@ def group_labels(seg: jnp.ndarray, factor: int) -> jnp.ndarray:
     raise ValueError("unsupported grouping factor {}".format(factor))
 
 
+def group_labels_positions_t(seg: jnp.ndarray) -> jnp.ndarray:
+    """(B, 4H, 4W) labels -> (4, B*H*W*4) int32 for the fused tail kernel.
+
+    Row p = final-ConvT 2x2 output position (kh*2 + kw); column order is the
+    nested grouped pixel order (b, h, w, g1) matching
+    ``conv_transpose_2x2_stride2_grouped``'s input rows, so column m, row p
+    holds the label of full-res pixel (4h + 2*(g1//2) + kh, 4w + 2*(g1%2) + kw).
+    uint8 so the kernel operand is 8.4 MB.  PERF: call this in its own
+    little jit (or eagerly), NOT inside the train step — standalone it runs
+    at memory speed (~0.05 ms), but embedded next to the pallas consumer
+    XLA's layout assignment stages it through pathological relayouts
+    (~7-8 ms/step measured on v5e, for every formulation tried: u8 or int32
+    monolithic 7-D transpose, strided-slice + concat)."""
+    b, fh, fw = seg.shape
+    h, w = fh // 4, fw // 4
+    s = seg.astype(jnp.uint8).reshape(b, h, 2, 2, w, 2, 2)  # (b,h,k1,kh,w,l1,kw)
+    s = jnp.transpose(s, (3, 6, 0, 1, 4, 2, 5))             # (kh,kw,b,h,w,k1,l1)
+    return s.reshape(4, b * h * w * 4)
+
+
 def pixel_unshuffle(x: jnp.ndarray, downscale_factor: int) -> jnp.ndarray:
     """Exact ``torch.nn.PixelUnshuffle(r)`` on NHWC input — the inverse of
     :func:`pixel_shuffle`: out channel c*r*r + i*r + j holds pixel
     (r*h + i, r*w + j) of input channel c.
 
     Train-path use: the SISR branch keeps its conv output in pre-shuffle
-    layout and the MSE TARGET is unshuffled instead — a transpose feeding a
-    reduction fuses to nothing, and being on the no-grad side it needs no
-    backward materialization (the full-res shuffle of the prediction cost
-    ~2.5 ms/step at (16,512,1024,3) on v5e)."""
+    layout and the MSE TARGET is unshuffled instead — being on the no-grad
+    side it needs no backward materialization (the full-res shuffle of the
+    prediction cost ~2.5 ms/step at (16,512,1024,3) on v5e).  The transpose
+    does materialize one ~1 ms f32 copy; un-flattened 6-D views were traced
+    and do NOT remove it (the source layout makes the pre-reshape a real
+    copy too)."""
     r = int(downscale_factor)
     b, rh, rw, c = x.shape
     h, w = rh // r, rw // r

@@ -40,7 +40,8 @@ class TrainState(NamedTuple):
 def make_train_step(model, stage: int, w1: float, w2: float, momentum: float,
                     weight_decay: float, ignore_label: int = 255,
                     freeze_batch_norm: bool = False, mesh=None, dry_run: bool = False,
-                    num_classes: int = 19, post_fn=None, grouped: bool = True):
+                    num_classes: int = 19, post_fn=None, grouped: bool = True,
+                    fused_tail: bool = True):
     """Returns jitted fn(state, img_lo, img_hi, seg, lr, rng) ->
     (state, losses-dict of f32 scalars).
 
@@ -51,7 +52,47 @@ def make_train_step(model, stage: int, w1: float, w2: float, momentum: float,
     XLA program (one dispatch per step; the normalize fuses into the first
     convolution's prologue)."""
 
-    def loss_fn(params, batch_stats, img_lo, img_hi, seg, rng):
+    use_fused_tail = fused_tail and grouped and not dry_run
+
+    def _fused_ce(params, y1, labs_t):
+        """Final ConvT + CE without materializing the logits
+        (ops/pallas/fused_tail.py), sharing the module's parameters; the
+        XLA composition at these shapes spends ~14 ms/step re-laying-out
+        the 319 MB logits tensor (see the kernel docstring).  Two earlier
+        Pallas CE kernels that consumed pre-made logits LOST to XLA (125 /
+        171 vs 195 img/s — operand relayout); owning the producing matmul
+        is what makes this one pay."""
+        from ..ops.pallas.fused_tail import convt_corners_ce_sum, pack_tail_params
+        tail = params['SSSR_decoder']['upsample16_pred.6']
+        b, h, w, g, c = y1.shape
+        wp, bp = pack_tail_params(tail['weight'], tail['bias'])
+        x = y1.reshape(b * h * w * g, c)
+        interpret = jax.default_backend() != 'tpu'
+
+        multi_dev = mesh is not None and mesh.devices.size > 1
+
+        def per_shard(x, wp, bp, labs_t):
+            s, n = convt_corners_ce_sum(x, wp, bp, labs_t, ignore_label,
+                                        interpret)
+            if multi_dev:
+                s = jax.lax.psum(s, 'data')
+                n = jax.lax.psum(n, 'data')
+            return s, n
+
+        if multi_dev:
+            # Explicit batch-sharding (rows / label columns are batch-major):
+            # GSPMD has no partitioning rule for pallas_call and would
+            # otherwise gather the full batch onto every device.
+            from jax.sharding import PartitionSpec as P
+            per_shard = jax.shard_map(per_shard, mesh=mesh,
+                                      in_specs=(P('data'), P(), P(),
+                                                P(None, 'data')),
+                                      out_specs=(P(), P()),
+                                      check_vma=False)
+        ce_sum, count = per_shard(x, wp, bp, labs_t)
+        return jnp.where(count > 0, ce_sum / jnp.maximum(count, 1.0), 0.0)
+
+    def loss_fn(params, batch_stats, img_lo, img_hi, seg, rng, labs_t=None):
         variables = {'params': params, 'batch_stats': batch_stats}
         if dry_run:
             # Exercise the full boilerplate without the network
@@ -66,39 +107,48 @@ def make_train_step(model, stage: int, w1: float, w2: float, momentum: float,
             # freeze is handled by the model's use_running_average plumbing.
             # grouped=True keeps the SSSR tail in space-to-depth layout (see
             # ops/conv.py): the labels are grouped to match below, and the
-            # loss value is mathematically identical.
+            # loss value is mathematically identical.  Under fused_tail the
+            # model returns the pre-ConvT activation instead of logits.
             outs, mutated = model.apply(
                 variables, img_lo, True, freeze_batch_norm, grouped and not dry_run,
-                rngs={'dropout': rng}, mutable=['batch_stats'])
+                use_fused_tail, rngs={'dropout': rng}, mutable=['batch_stats'])
             sssr, sisr, sssr_t, sisr_t = outs
             new_stats = mutated['batch_stats']
 
+        seg_full = seg
         if grouped and not dry_run:
             from ..ops.conv import group_labels, pixel_unshuffle
-            seg = group_labels(seg, 4)
+            if not use_fused_tail:
+                # The fused tail reads labels straight from the full-res map
+                # (group_labels_positions_t); only the XLA CE needs them in
+                # the grouped-logits layout.
+                seg = group_labels(seg, 4)
             if stage > 1:
                 # SISR stays pre-shuffle; unshuffle the TARGET instead (MSE
                 # is permutation-invariant and the no-grad side's transpose
                 # fuses into the reduction).
+                # NB (round 2): un-flattened 6-D/8-D views for the CE labels
+                # and MSE target were built and traced — both LOST: the
+                # grouped tensors' tiled layouts make the "free" reshapes
+                # real copies, and the 8-D CE breaks XLA's iota/broadcast
+                # fusion (192 -> 134 img/s).  Keep the flattened forms.
                 img_hi = pixel_unshuffle(img_hi, 8)
-        # NB: two Pallas CE kernels were built and measured against this XLA
-        # CE (round 2): a lane-sliced variant (125 img/s) and an MXU
-        # segment-matmul variant (171 img/s) — both lost to XLA's fused CE
-        # (195 img/s) because Pallas forces row-major operand layouts, which
-        # re-introduces the very relayout copies the kernel was meant to
-        # remove.  The ~12 ms/step of grouped-logits transpose copies remain
-        # an XLA layout-assignment artifact; revisit only with a kernel that
-        # also OWNS the producing matmul (fused ConvT+CE).
-        ce = cross_entropy_loss(sssr, seg, ignore_label)
+        if use_fused_tail:
+            if labs_t is None:
+                from ..ops.conv import group_labels_positions_t
+                labs_t = group_labels_positions_t(seg_full)
+            ce = _fused_ce(params, sssr, labs_t)
+        else:
+            ce = cross_entropy_loss(sssr, seg, ignore_label)
         mse = w1 * mse_loss(sisr, img_hi) if stage > 1 else jnp.float32(0)
         fa = w2 * fa_loss(sssr_t, sisr_t) if stage > 2 else jnp.float32(0)
         total = ce + mse + fa
         return total, (new_stats, ce, mse, fa)
 
-    def train_core(state: TrainState, img_lo, img_hi, seg, lr, rng):
+    def train_core(state: TrainState, img_lo, img_hi, seg, lr, rng, labs_t=None):
         (total, (new_stats, ce, mse, fa)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats,
-                                   img_lo, img_hi, seg, rng)
+                                   img_lo, img_hi, seg, rng, labs_t)
         if dry_run:
             new_params, new_buf = state.params, state.momentum
         else:
@@ -113,7 +163,18 @@ def make_train_step(model, stage: int, w1: float, w2: float, momentum: float,
     def fused_step(state: TrainState, imgs_u8, segs_u8, lr, rng):
         rng_post, rng_step = jax.random.split(rng)
         (img_lo, img_hi), (seg_hi, _) = post_fn(imgs_u8, segs_u8, rng_post)
-        return train_core(state, img_lo, img_hi, seg_hi, lr, rng_step)
+        labs_t = None
+        if use_fused_tail:
+            # Build the fused-CE label operand straight from the pristine
+            # row-major uint8 input (not post's int32 seg_hi, whose layout
+            # XLA tunes for other consumers).  NB: XLA prices this
+            # permutation at ~3.5 ms/step next to the pallas consumer; a
+            # separate jit dispatch, int32 operands, and a strided-slice
+            # formulation were all measured SLOWER (194-175 img/s vs 206).
+            from ..ops.conv import group_labels_positions_t
+            labs_t = jax.lax.optimization_barrier(
+                group_labels_positions_t(segs_u8))
+        return train_core(state, img_lo, img_hi, seg_hi, lr, rng_step, labs_t)
 
     return jax.jit(fused_step, donate_argnums=(0,))
 

@@ -1,0 +1,114 @@
+"""Fused final-ConvT + CE Pallas kernel vs the XLA composition.
+
+The kernel (ops/pallas/fused_tail.py) must reproduce
+``cross_entropy_loss(conv_transpose_2x2_stride2_grouped(y1, W, b), labels)``
+— value and all three gradients — including ignore-label masking and the
+no-valid-pixels guard; and the train step with ``fused_tail=True`` must march
+in lockstep with the XLA path on a sharded mesh.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dualsuperreslearningforsemseg_tpu.losses import cross_entropy_loss
+from dualsuperreslearningforsemseg_tpu.ops.conv import (
+    conv_transpose_2x2_stride2_grouped, group_labels, group_labels_positions_t)
+from dualsuperreslearningforsemseg_tpu.ops.pallas.fused_tail import fused_convt2_ce_mean
+
+
+def _case(rng, b=2, h=8, w=16, ignore_rows=5):
+    c = 19
+    y1 = jnp.asarray(rng.standard_normal((b, h, w, 4, c)), jnp.float32)
+    wt = jnp.asarray(rng.standard_normal((c, c, 2, 2)) * 0.2, jnp.float32)
+    bi = jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32)
+    seg = rng.integers(0, c, size=(b, h * 4, w * 4)).astype(np.int32)
+    if ignore_rows:
+        seg[0, :ignore_rows] = 255
+    return y1, wt, bi, group_labels(jnp.asarray(seg), 4), jnp.asarray(seg)
+
+
+def test_fused_tail_matches_xla_value_and_grads(rng):
+    y1, wt, bi, seg_g, _ = _case(rng)
+
+    def ref(y1, wt, bi):
+        logits = conv_transpose_2x2_stride2_grouped(y1, wt, bi)
+        return cross_entropy_loss(logits, seg_g, 255)
+
+    def fused(y1, wt, bi):
+        return fused_convt2_ce_mean(y1, wt, bi, seg_g, 255, interpret=True)
+
+    v1, g1 = jax.value_and_grad(ref, argnums=(0, 1, 2))(y1, wt, bi)
+    v2, g2 = jax.value_and_grad(fused, argnums=(0, 1, 2))(y1, wt, bi)
+    assert abs(float(v1) - float(v2)) < 1e-5
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_fused_tail_all_pixels_ignored(rng):
+    y1, wt, bi, seg_g, _ = _case(rng)
+    seg_all = jnp.full_like(seg_g, 255)
+    v = fused_convt2_ce_mean(y1, wt, bi, seg_all, 255, interpret=True)
+    assert float(v) == 0.0  # matches cross_entropy_loss's count == 0 guard
+    # and the gradient through the guard is zero, not NaN
+    g = jax.grad(lambda y: fused_convt2_ce_mean(y, wt, bi, seg_all, 255,
+                                                interpret=True))(y1)
+    assert not np.any(np.isnan(np.asarray(g)))
+    assert float(jnp.max(jnp.abs(g))) == 0.0
+
+
+def test_group_labels_positions_t_matches_group_labels(rng):
+    _, _, _, seg_g, seg = _case(rng, b=3, h=4, w=8, ignore_rows=2)
+    lt = group_labels_positions_t(seg)
+    ref = np.asarray(seg_g).reshape(-1, 4).T.astype(np.uint8)
+    assert lt.dtype == jnp.uint8
+    np.testing.assert_array_equal(np.asarray(lt), ref)
+
+
+@pytest.mark.parametrize('stage', [1, 3])
+def test_train_step_fused_tail_matches_xla_path(rng, stage):
+    """One full train step, 8-device mesh: fused_tail=True == fused_tail=False."""
+    from dualsuperreslearningforsemseg_tpu.models import DSRL
+    from dualsuperreslearningforsemseg_tpu.parallel import (make_mesh, replicate,
+                                                            batch_sharding)
+    from dualsuperreslearningforsemseg_tpu.train import (sgd_init, make_train_step,
+                                                         TrainState)
+
+    input_hw, output_hw = (64, 128), (128, 256)
+    model = DSRL(stage=stage, num_classes=19, backbone_layers=(1, 1, 2, 1))
+    variables = jax.tree.map(np.asarray, model.init(
+        {'params': jax.random.PRNGKey(0), 'dropout': jax.random.PRNGKey(1)},
+        jnp.zeros((1, *input_hw, 3)), False))
+    mesh = make_mesh()
+
+    def fresh():
+        host = jax.tree.map(lambda x: np.array(x, copy=True), variables)
+        return TrainState(replicate(host['params'], mesh),
+                          replicate(host['batch_stats'], mesh),
+                          replicate(sgd_init(host['params']), mesh))
+
+    B = 8
+    img_lo = jax.device_put(rng.standard_normal((B, *input_hw, 3)).astype(np.float32),
+                            batch_sharding(mesh, 4))
+    img_hi = jax.device_put(rng.standard_normal((B, *output_hw, 3)).astype(np.float32),
+                            batch_sharding(mesh, 4))
+    seg = rng.integers(0, 19, size=(B, *output_hw)).astype(np.int32)
+    seg[:, :7] = 255
+    seg = jax.device_put(seg, batch_sharding(mesh, 3))
+    key, lr = jax.random.PRNGKey(5), jnp.float32(0.01)
+
+    out = {}
+    for fused in (False, True):
+        ts = make_train_step(model, stage=stage, w1=0.1, w2=1.0, momentum=0.9,
+                             weight_decay=5e-4, ignore_label=255, mesh=mesh,
+                             fused_tail=fused)
+        st, losses = ts(fresh(), img_lo, img_hi, seg, lr, key)
+        out[fused] = (jax.tree.map(np.asarray, losses),
+                      jax.tree.map(np.asarray, st.params))
+
+    for k in out[False][0]:
+        assert abs(float(out[False][0][k]) - float(out[True][0][k])) < 1e-5, k
+    for a, b in zip(jax.tree.leaves(out[False][1]), jax.tree.leaves(out[True][1])):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
