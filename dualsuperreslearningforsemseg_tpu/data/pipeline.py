@@ -121,7 +121,10 @@ class Loader:
                     segs.append(seg)
                 imgs, segs = np.stack(imgs), np.stack(segs)
             if self.host_transform is not None:
-                imgs, segs = self.host_transform(epoch, batch_number, imgs, segs)
+                # May return (imgs, segs) or (imgs, segs, extras...) — e.g.
+                # the position-major label operand for the fused tail kernel;
+                # yielded through as-is.
+                return self.host_transform(epoch, batch_number, imgs, segs)
             return imgs, segs
 
         def producer():

@@ -160,17 +160,19 @@ def make_train_step(model, stage: int, w1: float, w2: float, momentum: float,
     if post_fn is None:
         return jax.jit(train_core, donate_argnums=(0,))
 
-    def fused_step(state: TrainState, imgs_u8, segs_u8, lr, rng):
+    def fused_step(state: TrainState, imgs_u8, segs_u8, lr, rng, labs_t=None):
         rng_post, rng_step = jax.random.split(rng)
         (img_lo, img_hi), (seg_hi, _) = post_fn(imgs_u8, segs_u8, rng_post)
-        labs_t = None
-        if use_fused_tail:
-            # Build the fused-CE label operand straight from the pristine
-            # row-major uint8 input (not post's int32 seg_hi, whose layout
-            # XLA tunes for other consumers).  NB: XLA prices this
-            # permutation at ~3.5 ms/step next to the pallas consumer; a
-            # separate jit dispatch, int32 operands, and a strided-slice
-            # formulation were all measured SLOWER (194-175 img/s vs 206).
+        if use_fused_tail and labs_t is None:
+            # Device fallback when the host data plane didn't deliver the
+            # position-major labels (native/dataplane.cpp::
+            # dp_labels_positions_t — ~3 ms on host threads, overlapped).
+            # Built straight from the pristine row-major uint8 input (not
+            # post's int32 seg_hi, whose layout XLA tunes for other
+            # consumers).  NB: XLA prices this permutation at ~7 ms/step
+            # next to the pallas consumer; a separate jit dispatch, int32
+            # operands, and a strided-slice formulation all measured SLOWER
+            # (194-175 img/s vs 206) — hence the host path.
             from ..ops.conv import group_labels_positions_t
             labs_t = jax.lax.optimization_barrier(
                 group_labels_positions_t(segs_u8))

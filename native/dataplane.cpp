@@ -242,4 +242,54 @@ int dp_warp_pair_batch(const uint8_t* imgs_in, const uint8_t* segs_in, int n,
   return 0;
 }
 
+// Re-layout n warped label maps (n, oh, ow) into the fused tail kernel's
+// position-major operand (dualsuperreslearningforsemseg_tpu/ops/pallas/
+// fused_tail.py): out[p][(b, hh, ww, g)] = segs[b][4*hh + 2*(g/2) + p/2]
+//                                                  [4*ww + 2*(g%2) + p%2],
+// p = final-ConvT 2x2 output position, g = nested ConvT1 group.  A pure
+// memory shuffle here (~3 ms over the decode thread pool, fully overlapped
+// with device compute); the same permutation inside the XLA train program
+// costs ~7 ms/step of device time at (16,512,1024) on v5e because layout
+// assignment stages it through pathological relayouts.
+int dp_labels_positions_t(const uint8_t* segs, int n, int oh, int ow,
+                          uint8_t* out, int threads) {
+  if (oh % 4 || ow % 4) return 1;
+  if (threads < 1) threads = 1;
+  const int hh = oh / 4, ww = ow / 4;
+  const size_t in_seg = static_cast<size_t>(oh) * ow;
+  const size_t m = static_cast<size_t>(n) * hh * ww * 4;  // columns per row p
+  std::atomic<int> next{0};
+
+  auto worker = [&]() {
+    for (;;) {
+      int b = next.fetch_add(1);
+      if (b >= n) return;
+      const uint8_t* src = segs + b * in_seg;
+      for (int p = 0; p < 4; ++p) {
+        const int kh = p >> 1, kw = p & 1;
+        uint8_t* dst = out + p * m + static_cast<size_t>(b) * hh * ww * 4;
+        for (int y = 0; y < hh; ++y) {
+          const uint8_t* r0 = src + static_cast<size_t>(4 * y + kh) * ow;
+          const uint8_t* r1 = r0 + 2 * ow;  // k1 = 1 rows
+          uint8_t* d = dst + static_cast<size_t>(y) * ww * 4;
+          for (int x = 0; x < ww; ++x) {
+            const int xb = 4 * x + kw;
+            d[4 * x + 0] = r0[xb];          // g = 0: (k1, l1) = (0, 0)
+            d[4 * x + 1] = r0[xb + 2];      // g = 1: (0, 1)
+            d[4 * x + 2] = r1[xb];          // g = 2: (1, 0)
+            d[4 * x + 3] = r1[xb + 2];      // g = 3: (1, 1)
+          }
+        }
+      }
+    }
+  };
+
+  std::vector<std::thread> pool;
+  int nt = threads < n ? threads : n;
+  pool.reserve(nt);
+  for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
+  for (auto& t : pool) t.join();
+  return 0;
+}
+
 }  // extern "C"

@@ -116,3 +116,38 @@ def test_host_warp_transform_deterministic(tree):
     assert not np.array_equal(a[0], c[0])
     # label LUT applied: values in train-id space
     assert set(np.unique(a[1]).tolist()) <= set(range(19)) | {255}
+
+
+def test_native_labels_positions_t_matches_jnp(rng):
+    """The C++ position-major label layout == the jnp reference helper."""
+    import jax.numpy as jnp
+    from dualsuperreslearningforsemseg_tpu.data.native import (native_available,
+                                                               labels_positions_t)
+    from dualsuperreslearningforsemseg_tpu.ops.conv import group_labels_positions_t
+    if not native_available():
+        import pytest
+        pytest.skip("native data plane unavailable")
+    seg = rng.integers(0, 256, (3, 32, 64)).astype(np.uint8)
+    got = labels_positions_t(seg)
+    want = np.asarray(group_labels_positions_t(jnp.asarray(seg)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_host_warp_transform_emits_position_labels(tree):
+    """emit_position_labels: the 3rd element is the layout of the 2nd."""
+    import jax.numpy as jnp
+    from dualsuperreslearningforsemseg_tpu.data import (make_host_warp_transform,
+                                                        AugmentConfig)
+    from dualsuperreslearningforsemseg_tpu.data.native import native_available
+    from dualsuperreslearningforsemseg_tpu.ops.conv import group_labels_positions_t
+    if not native_available():
+        import pytest
+        pytest.skip("native data plane unavailable")
+    ds = CityscapesDataset(tree, split='train')
+    img, seg = ds[0]
+    cfg = AugmentConfig(input_hw=(32, 64), output_hw=(64, 128))
+    tf = make_host_warp_transform(cfg, cs.LABEL_MAPPING_LUT, seed=1,
+                                  emit_position_labels=True)
+    imgs_w, segs_w, labs = tf(0, 0, img[None], seg[None])
+    np.testing.assert_array_equal(
+        labs, np.asarray(group_labels_positions_t(jnp.asarray(segs_w))))
