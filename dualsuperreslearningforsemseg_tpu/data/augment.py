@@ -26,7 +26,6 @@ Deliberate deviations from reference behavior (documented per SURVEY.md §7):
 """
 
 import dataclasses
-import functools
 from typing import Tuple
 
 import numpy as np

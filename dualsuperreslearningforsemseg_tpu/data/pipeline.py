@@ -76,7 +76,6 @@ class Loader:
         if use_native and hasattr(dataset, 'pairs') and len(dataset) > 0:
             from .native import native_available
             if native_available():
-                import numpy as _np
                 from PIL import Image as _Image
                 with _Image.open(dataset.pairs[0][0]) as im:
                     self._native_hw = (im.height, im.width)

@@ -41,7 +41,7 @@ from ..ops.resize import resize_bilinear_matmul
 from ..ops.conv import (conv_transpose_2x2_stride2,
                         conv_transpose_2x2_stride2_grouped,
                         conv_transpose_2x2_stride2_corner,
-                        ungroup_2x2, pixel_shuffle)
+                        pixel_shuffle)
 from ..consts import NUM_RGB_CHANNELS
 
 

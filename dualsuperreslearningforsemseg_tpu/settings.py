@@ -15,7 +15,6 @@ Mirrors the configuration surface of the reference's ``settings.py``
 
 import os.path
 import collections
-from functools import partial
 
 version_tuple = collections.namedtuple("Row", ["major", "minor"])
 MIN_PYTHON_VERSION = version_tuple(major=3, minor=10)
@@ -35,7 +34,9 @@ AMP_OPTIMIZATION_OPTIONS = [None, 'O0', 'O1', 'O2', 'O3', 'BF16']
 # Default values for commandline arguments (/root/reference/settings.py:30-43)
 DEFAULT_DEVICE = 'tpu'
 DEFAULT_AMP_OPTIMIZATION_OPTION = AMP_OPTIMIZATION_OPTIONS[0]
-DEFAULT_NUM_WORKERS = 4
+# The reference's fixed 4 DataLoader workers underfeed a v5e chip (the host
+# decode+warp plane must sustain >200 img/s); scale with the host, capped.
+DEFAULT_NUM_WORKERS = max(4, min(16, os.cpu_count() or 4))
 DEFAULT_VAL_INTERVAL = 10
 DEFAULT_CHECKPOINT_INTERVAL = 5
 DEFAULT_CHECKPOINT_HISTORY = 5

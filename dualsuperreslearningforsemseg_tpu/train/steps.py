@@ -20,8 +20,7 @@ full-logits D2H copy per validation batch.  Here:
   ``CE + w1*MSE + w2*FA`` (train_or_resume.py:435-438).
 """
 
-import functools
-from typing import Any, NamedTuple, Optional
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
