@@ -205,7 +205,8 @@ def _p50_test_latency():
         x = (img_u8.astype(jnp.float32) / 255.0 - mean) / std
         img_lo = resize_bilinear_align_corners(x[None], input_hw)
         sssr = model.apply(v, img_lo, False)[0]
-        return jnp.argmax(sssr[0], axis=-1).astype(jnp.uint8)
+        from dualsuperreslearningforsemseg_tpu.metrics.device import argmax_lastdim
+        return argmax_lastdim(sssr[0]).astype(jnp.uint8)
 
     x_host = np.random.default_rng(0).integers(0, 256, size=(*output_hw, 3),
                                                dtype=np.uint8)

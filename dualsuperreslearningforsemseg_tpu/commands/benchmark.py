@@ -24,7 +24,7 @@ from ..checkpoint import load_checkpoint_or_weights
 from ..data import Loader, make_eval_transform_fn, AugmentConfig
 from ..losses import cross_entropy_loss
 from ..metrics import mIoU, Accuracy, AverageMeter
-from ..metrics.device import batch_histograms, batch_accuracy_counts
+from ..metrics.device import batch_histograms, batch_accuracy_counts, argmax_lastdim
 from ..models import DSRL, load_state_dict
 from ..utils import INFO, FATAL
 from .test import _init_eval_variables
@@ -56,7 +56,7 @@ def benchmark(weights, dataset, device, num_workers, batch_size, **other_args):
     def bench_step(img_lo, seg_hi):
         sssr = model.apply(variables, img_lo, False)[0]
         ce = cross_entropy_loss(sssr, seg_hi, ds_settings.IGNORE_CLASS_LABEL)
-        pred = jnp.argmax(sssr, axis=-1).astype(jnp.int32)
+        pred = argmax_lastdim(sssr)
         hists = batch_histograms(pred, seg_hi, ds_settings.NUM_CLASSES,
                                  ds_settings.IGNORE_CLASS_LABEL)
         acc = batch_accuracy_counts(pred, seg_hi, ds_settings.IGNORE_CLASS_LABEL)

@@ -21,6 +21,7 @@ from tqdm.auto import tqdm
 from .. import consts, settings
 from ..checkpoint import load_checkpoint_or_weights
 from ..data import make_eval_transform_fn, AugmentConfig
+from ..metrics.device import argmax_lastdim
 from ..models import DSRL, load_state_dict
 from ..ops.colorize import make_input_output_visualization
 from ..ops.resize import resize_bilinear_align_corners
@@ -59,7 +60,7 @@ def _build_pipeline(weights, dataset, compiled_model):
         x = (img_u8.astype(jnp.float32) / 255.0 - mean) / std
         img_lo = resize_bilinear_align_corners(x[None], settings.MODEL_INPUT_SIZE)
         sssr = forward(img_lo)
-        return jnp.argmax(sssr[0], axis=-1).astype(jnp.uint8)
+        return argmax_lastdim(sssr[0]).astype(jnp.uint8)
 
     return pipeline
 
@@ -134,7 +135,7 @@ def test(image_file, images_dir, dataset, output_dir, weights, device,
                                                     jnp.asarray(seg_u8)[None])
             with timethis(INFO("Inference required {:}.")):
                 sssr = forward(img_lo)
-                pred = np.asarray(jnp.argmax(sssr[0], axis=-1))
+                pred = np.asarray(argmax_lastdim(sssr[0]))
 
             disp = np.asarray(img_hi[0]) * std + mean
             disp = np.clip(disp * 255.0, 0.0, 255.0).astype(np.uint8).transpose((2, 0, 1))

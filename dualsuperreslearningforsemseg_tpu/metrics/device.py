@@ -13,7 +13,21 @@ histogram is equivalent to a bincount over classes 1..19.  This equivalence
 is asserted in tests against literal np.histogram.
 """
 
+import jax
 import jax.numpy as jnp
+
+
+def argmax_lastdim(x: jnp.ndarray) -> jnp.ndarray:
+    """``jnp.argmax(x, axis=-1)`` as two simple reductions.
+
+    ``jnp.argmax`` lowers to a variadic (value, index) reduce that costs
+    ~30 ms/step on the (16,512,1024,19) eval logits on v5e; max followed by
+    first-match-index (a where + min reduce) computes the identical result
+    (first maximal index, like jnp/torch/np) in ~2 ms.  Returns int32."""
+    m = jnp.max(x, axis=-1, keepdims=True)
+    n = x.shape[-1]
+    classes = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    return jnp.min(jnp.where(x == m, classes, n), axis=-1).astype(jnp.int32)
 
 
 def batch_histograms(pred: jnp.ndarray, target: jnp.ndarray, num_classes: int,

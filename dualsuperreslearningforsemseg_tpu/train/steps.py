@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..losses import cross_entropy_loss, mse_loss, fa_loss
-from ..metrics.device import batch_histograms, batch_accuracy_counts
+from ..metrics.device import batch_histograms, batch_accuracy_counts, argmax_lastdim
 from .optim import sgd_update
 
 
@@ -219,7 +219,7 @@ def make_eval_step(model, stage: int, w1: float, w2: float, num_classes: int,
         else:
             fa = jnp.float32(0)
         total = ce + mse + fa
-        pred = jnp.argmax(sssr, axis=-1).astype(jnp.int32)
+        pred = argmax_lastdim(sssr)
         hists = batch_histograms(pred, seg, num_classes, ignore_label)
         acc = batch_accuracy_counts(pred, seg, ignore_label)
         losses = {'CE': ce, 'MSE': mse, 'FA': fa, 'Total': total}

@@ -100,3 +100,16 @@ def test_average_meter(rng):
     m.update(4.0, 1)
     assert abs(m() - (2.0 * 3 + 4.0) / 4) < 1e-12
     assert m.val == 4.0
+
+
+def test_argmax_lastdim_matches_jnp_argmax(rng):
+    """First-match semantics incl. ties, any rank."""
+    import jax.numpy as jnp
+    from dualsuperreslearningforsemseg_tpu.metrics.device import argmax_lastdim
+    x = rng.standard_normal((3, 5, 7, 19)).astype(np.float32)
+    x[0, 0, 0, 3] = x[0, 0, 0, 11] = x[0, 0, 0].max() + 1.0   # tie -> first wins
+    x[1, 2] = 0.0                                              # all-equal rows
+    got = np.asarray(argmax_lastdim(jnp.asarray(x)))
+    want = np.asarray(jnp.argmax(jnp.asarray(x), axis=-1))
+    np.testing.assert_array_equal(got, want)
+    assert got.dtype == np.int32
