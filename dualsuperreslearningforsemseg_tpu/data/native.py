@@ -22,6 +22,14 @@ _lib = None
 _lib_lock = threading.Lock()
 _warned = False
 
+# Must match dp_version() in native/dataplane.cpp.  get_lib() refuses (and
+# rebuilds) any .so reporting an older version, so a stale library left in the
+# tree can never advertise features it lacks — callers that see
+# native_available() may rely on every symbol below existing.
+_EXPECTED_VERSION = 2
+_REQUIRED_SYMBOLS = ('dp_version', 'dp_decode_png', 'dp_decode_pair_batch',
+                     'dp_warp_pair_batch', 'dp_labels_positions_t')
+
 
 def _try_build():
     try:
@@ -32,49 +40,71 @@ def _try_build():
         return False
 
 
+def _dlclose(lib):
+    # Drop the handle so a rebuilt .so at the same path dlopen()s fresh
+    # (glibc caches dlopen by pathname while a handle is live).
+    try:
+        import _ctypes
+        _ctypes.dlclose(lib._handle)
+    except Exception:
+        pass
+
+
+def _load_and_check():
+    """CDLL the .so and validate ABI; returns the bound lib or None if stale."""
+    try:
+        lib = ctypes.CDLL(_SO_PATH)
+    except OSError:
+        return None
+    if not all(hasattr(lib, s) for s in _REQUIRED_SYMBOLS):
+        _dlclose(lib)
+        return None
+    lib.dp_version.restype = ctypes.c_int
+    if lib.dp_version() < _EXPECTED_VERSION:
+        _dlclose(lib)
+        return None
+    lib.dp_decode_png.restype = ctypes.c_int
+    lib.dp_decode_png.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.c_int]
+    lib.dp_decode_pair_batch.restype = ctypes.c_int
+    lib.dp_decode_pair_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_int]
+    lib.dp_warp_pair_batch.restype = ctypes.c_int
+    lib.dp_warp_pair_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_char_p, ctypes.c_int]
+    lib.dp_labels_positions_t.restype = ctypes.c_int
+    lib.dp_labels_positions_t.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
+    return lib
+
+
 def get_lib():
     """The loaded native library, or None if unavailable."""
     global _lib, _warned
     with _lib_lock:
         if _lib is not None:
             return _lib if _lib is not False else None
-        if not os.path.isfile(_SO_PATH) and not _try_build():
+        lib = _load_and_check() if os.path.isfile(_SO_PATH) else None
+        if lib is None and _try_build():
+            lib = _load_and_check()
+        if lib is None:
             if not _warned:
-                print(CAUTION("Native data plane unavailable (no toolchain); "
+                print(CAUTION("Native data plane unavailable (no toolchain, or "
+                              "a stale library that would not rebuild); "
                               "falling back to PIL decode."))
                 _warned = True
             _lib = False
             return None
-        try:
-            lib = ctypes.CDLL(_SO_PATH)
-        except OSError:
-            _lib = False
-            return None
-        lib.dp_version.restype = ctypes.c_int
-        lib.dp_decode_png.restype = ctypes.c_int
-        lib.dp_decode_png.argtypes = [
-            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
-            ctypes.POINTER(ctypes.c_int), ctypes.c_int]
-        lib.dp_decode_pair_batch.restype = ctypes.c_int
-        lib.dp_decode_pair_batch.argtypes = [
-            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
-            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
-            ctypes.c_char_p, ctypes.c_int]
-        if hasattr(lib, 'dp_warp_pair_batch'):
-            lib.dp_warp_pair_batch.restype = ctypes.c_int
-            lib.dp_warp_pair_batch.argtypes = [
-                ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
-                ctypes.c_int, ctypes.c_int, ctypes.c_int,
-                ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
-                ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
-                ctypes.c_char_p, ctypes.c_int]
-        if hasattr(lib, 'dp_labels_positions_t'):
-            lib.dp_labels_positions_t.restype = ctypes.c_int
-            lib.dp_labels_positions_t.argtypes = [
-                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
-                ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
         _lib = lib
         return lib
 

@@ -127,21 +127,29 @@ class Loader:
             return imgs, segs
 
         def producer():
-            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                futures = []
-                for batch_number, batch_idx in self._batches_indices():
-                    if stop.is_set():
-                        break
-                    futures.append(pool.submit(decode_batch, batch_number, batch_idx))
-                    # Bound the number of in-flight decode jobs.
-                    while len(futures) >= self.num_workers + self.prefetch:
-                        out_q.put(futures.pop(0).result())
+            # Any failure (decode error, native-warp error, ...) is forwarded
+            # through the queue and re-raised in __iter__; the consumer must
+            # never block forever on a dead producer.
+            try:
+                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                    futures = []
+                    for batch_number, batch_idx in self._batches_indices():
+                        if stop.is_set():
+                            break
+                        futures.append(pool.submit(decode_batch, batch_number, batch_idx))
+                        # Bound the number of in-flight decode jobs.
+                        while len(futures) >= self.num_workers + self.prefetch:
+                            out_q.put(futures.pop(0).result())
+                            if stop.is_set():
+                                return
+                    for fut in futures:
                         if stop.is_set():
                             return
-                for fut in futures:
-                    if stop.is_set():
-                        return
-                    out_q.put(fut.result())
+                        out_q.put(fut.result())
+            except BaseException as exc:  # noqa: BLE001 — forwarded, not hidden
+                if not stop.is_set():
+                    out_q.put(exc)
+                return
             out_q.put(None)
 
         thread = threading.Thread(target=producer, daemon=True)
@@ -151,6 +159,8 @@ class Loader:
                 item = out_q.get()
                 if item is None:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

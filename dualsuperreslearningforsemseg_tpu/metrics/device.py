@@ -23,11 +23,18 @@ def argmax_lastdim(x: jnp.ndarray) -> jnp.ndarray:
     ``jnp.argmax`` lowers to a variadic (value, index) reduce that costs
     ~30 ms/step on the (16,512,1024,19) eval logits on v5e; max followed by
     first-match-index (a where + min reduce) computes the identical result
-    (first maximal index, like jnp/torch/np) in ~2 ms.  Returns int32."""
+    (first maximal index, like jnp/torch/np) in ~2 ms.  Returns int32.
+
+    NaN rows: the max is NaN and ``x == m`` matches nothing, so the raw index
+    would be ``n`` (out of range) where ``jnp.argmax`` returns the first NaN's
+    index.  Such rows are clamped to ``n - 1`` so downstream histograms stay
+    in-range; eval logits are NaN-free by construction (--debug-nans catches
+    the alternative), so this divergence is unreachable in practice."""
     m = jnp.max(x, axis=-1, keepdims=True)
     n = x.shape[-1]
     classes = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
-    return jnp.min(jnp.where(x == m, classes, n), axis=-1).astype(jnp.int32)
+    idx = jnp.min(jnp.where(x == m, classes, n), axis=-1)
+    return jnp.minimum(idx, n - 1).astype(jnp.int32)
 
 
 def batch_histograms(pred: jnp.ndarray, target: jnp.ndarray, num_classes: int,

@@ -111,7 +111,10 @@ DecodeResult decode_png(const char* path, uint8_t* out, size_t out_cap,
 
 extern "C" {
 
-int dp_version() { return 1; }
+// ABI version of this library.  Bump whenever an export is added/changed so
+// data/native.py can detect a stale .so left over from an older build and
+// rebuild instead of loading it (v2: dp_warp_pair_batch, dp_labels_positions_t).
+int dp_version() { return 2; }
 
 int dp_decode_png(const char* path, uint8_t* out, int64_t out_cap, int* h,
                   int* w, int* c, int force_channels) {

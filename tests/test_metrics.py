@@ -113,3 +113,15 @@ def test_argmax_lastdim_matches_jnp_argmax(rng):
     want = np.asarray(jnp.argmax(jnp.asarray(x), axis=-1))
     np.testing.assert_array_equal(got, want)
     assert got.dtype == np.int32
+
+
+def test_argmax_lastdim_nan_rows_stay_in_range():
+    """NaN rows clamp to the last class instead of emitting index n (which
+    would silently fall out of downstream histograms — ADVICE r2)."""
+    import jax.numpy as jnp
+    from dualsuperreslearningforsemseg_tpu.metrics.device import argmax_lastdim
+    x = np.array([[0.0, 1.0, 2.0], [np.nan, np.nan, np.nan],
+                  [1.0, np.nan, 0.0]], np.float32)
+    got = np.asarray(argmax_lastdim(jnp.asarray(x)))
+    assert got.min() >= 0 and got.max() <= 2
+    assert got[0] == 2

@@ -151,3 +151,35 @@ def test_host_warp_transform_emits_position_labels(tree):
     imgs_w, segs_w, labs = tf(0, 0, img[None], seg[None])
     np.testing.assert_array_equal(
         labs, np.asarray(group_labels_positions_t(jnp.asarray(segs_w))))
+
+def test_stale_abi_rejected(tmp_path):
+    """A .so reporting an old dp_version must not load (ADVICE r2: a stale
+    library would advertise native_available() without the full symbol set and
+    kill the decode threads mid-train)."""
+    import subprocess
+    from dualsuperreslearningforsemseg_tpu.data import native as native_mod
+    src = tmp_path / 'stale.cpp'
+    src.write_text('extern "C" int dp_version() { return 1; }\n')
+    so = tmp_path / 'stale.so'
+    subprocess.run(['g++', '-shared', '-fPIC', str(src), '-o', str(so)],
+                   check=True)
+    orig = native_mod._SO_PATH
+    try:
+        native_mod._SO_PATH = str(so)
+        assert native_mod._load_and_check() is None
+    finally:
+        native_mod._SO_PATH = orig
+
+
+def test_loader_surfaces_producer_errors(tree):
+    """A failing host_transform must raise in the consumer, not hang."""
+    ds = CityscapesDataset(tree, split='train')
+
+    def boom(epoch, batch_number, imgs, segs):
+        raise RuntimeError("host transform failed")
+
+    loader = Loader(ds, batch_size=2, shuffle=False, num_workers=2,
+                    host_transform=boom)
+    with pytest.raises(RuntimeError, match="host transform failed"):
+        for _ in loader:
+            pass
