@@ -2,8 +2,12 @@
 
 Parity with /root/reference/command_handlers/benchmark.py:16-95 (stage-1
 model, val/test transforms, metric accumulation, printed results +
-outputs/benchmark.txt) with the TPU eval design: metrics accumulate on
-device; only histogram vectors return to host.  Also reports throughput.
+outputs/benchmark.txt) with the TPU eval design: the evaluation is sharded
+over the full device mesh (the reference is single-GPU) using the same
+pad/mask machinery as the training-loop validator — ragged final batches are
+padded to the shard count and masked rows contribute nothing to any loss or
+metric, so the sharded result is identical to a single-device pass.  Metrics
+accumulate on device; only histogram vectors return to host.
 
 The reference averages CE with the *nominal* batch size even for the ragged
 final batch (benchmark.py:65) — documented bug, not replicated: we weight by
@@ -14,7 +18,6 @@ import os
 import os.path
 from datetime import datetime
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from tqdm.auto import tqdm
@@ -22,10 +25,11 @@ from tqdm.auto import tqdm
 from .. import settings
 from ..checkpoint import load_checkpoint_or_weights
 from ..data import Loader, make_eval_transform_fn, AugmentConfig
-from ..losses import cross_entropy_loss
 from ..metrics import mIoU, Accuracy, AverageMeter
-from ..metrics.device import batch_histograms, batch_accuracy_counts, argmax_lastdim
 from ..models import DSRL, load_state_dict
+from ..parallel import (make_mesh, batch_sharding, replicate, is_master_rank,
+                        pad_batch_to_shards)
+from ..train import make_eval_step
 from ..utils import INFO, FATAL
 from .test import _init_eval_variables
 
@@ -50,17 +54,19 @@ def benchmark(weights, dataset, device, num_workers, batch_size, **other_args):
                             mean=ds_settings.MEAN, std=ds_settings.STD)
     eval_fn = make_eval_transform_fn(aug_cfg, ds_settings.LABEL_MAPPING_LUT)
     loader = Loader(test_dataset, batch_size=batch_size, shuffle=False,
-                    drop_last=False, num_workers=num_workers)
+                    drop_last=False, num_workers=num_workers,
+                    world_size=jax.process_count(), rank=jax.process_index())
 
-    @jax.jit
-    def bench_step(img_lo, seg_hi):
-        sssr = model.apply(variables, img_lo, False)[0]
-        ce = cross_entropy_loss(sssr, seg_hi, ds_settings.IGNORE_CLASS_LABEL)
-        pred = argmax_lastdim(sssr)
-        hists = batch_histograms(pred, seg_hi, ds_settings.NUM_CLASSES,
-                                 ds_settings.IGNORE_CLASS_LABEL)
-        acc = batch_accuracy_counts(pred, seg_hi, ds_settings.IGNORE_CLASS_LABEL)
-        return ce, hists, acc
+    mesh = make_mesh()
+    n_shards = len(mesh.devices.reshape(-1)) // jax.process_count()
+    params = replicate(variables['params'], mesh)
+    batch_stats = replicate(variables['batch_stats'], mesh)
+    eval_step = make_eval_step(model, stage=1, w1=0.0, w2=0.0,
+                               num_classes=ds_settings.NUM_CLASSES,
+                               ignore_label=ds_settings.IGNORE_CLASS_LABEL)
+    sharding = batch_sharding(mesh, 4)
+    sharding3 = batch_sharding(mesh, 3)
+    sharding1 = batch_sharding(mesh, 1)
 
     CE_avg_loss = AverageMeter()
     miou = mIoU(num_classes=ds_settings.NUM_CLASSES)
@@ -70,12 +76,18 @@ def benchmark(weights, dataset, device, num_workers, batch_size, **other_args):
     with tqdm(total=len(loader), desc='BENCHMARKING', colour='yellow',
               position=0, leave=False, bar_format=settings.PROGRESSBAR_FORMAT) as progressbar:
         for imgs_u8, segs_u8 in loader:
-            (img_lo, _), (seg_hi, _) = eval_fn(jnp.asarray(imgs_u8), jnp.asarray(segs_u8))
-            ce, hists, acc = bench_step(img_lo, seg_hi)
-            CE_avg_loss.update(float(ce), imgs_u8.shape[0])
+            n = imgs_u8.shape[0]
+            imgs_u8, segs_u8, mask = pad_batch_to_shards(imgs_u8, segs_u8, n_shards)
+            imgs_dev = jax.make_array_from_process_local_data(sharding, imgs_u8)
+            segs_dev = jax.make_array_from_process_local_data(sharding3, segs_u8)
+            mask_dev = jax.make_array_from_process_local_data(sharding1, mask)
+            (img_lo, img_hi), (seg_hi, _) = eval_fn(imgs_dev, segs_dev)
+            losses, _, hists, acc = eval_step(params, batch_stats,
+                                              img_lo, img_hi, seg_hi, mask_dev)
+            CE_avg_loss.update(float(losses['CE']), n)
             miou.update_from_areas(*jax.device_get(hists))
             accuracy_mean.update_from_counts(*[int(v) for v in jax.device_get(acc)])
-            n_images += imgs_u8.shape[0]
+            n_images += n
             progressbar.update()
 
     elapsed = (datetime.now() - process_start_timestamp).total_seconds()
@@ -83,9 +95,11 @@ def benchmark(weights, dataset, device, num_workers, batch_size, **other_args):
     print("Avg. Cross Entropy Error: {:.3f}".format(CE_avg_loss()))
     print("mIoU %: {:.2f}".format(miou()))
     print("Mean Accuracy %: {:.2f}".format(accuracy_mean()))
-    print("Throughput: {:.2f} images/sec (end-to-end, incl. decode)".format(
-        n_images / max(elapsed, 1e-9)))
+    print("Throughput: {:.2f} images/sec (end-to-end, incl. decode; {:d} device(s))".format(
+        n_images / max(elapsed, 1e-9), mesh.devices.size))
 
+    if not is_master_rank():
+        return
     os.makedirs(settings.OUTPUTS_DIR, exist_ok=True)
     output_benchmark_filename = os.path.join(settings.OUTPUTS_DIR, 'benchmark.txt')
     with open(output_benchmark_filename, 'w') as benchmark_file:

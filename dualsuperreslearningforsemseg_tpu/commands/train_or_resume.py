@@ -43,7 +43,8 @@ from ..metrics import mIoU, Accuracy, AverageMeter
 from ..models import DSRL, PolynomialLR, state_dict, load_state_dict, count_params
 from ..ops.colorize import make_input_output_visualization
 from ..parallel import (make_mesh, batch_sharding, replicate, is_master_rank,
-                        initialize_distributed, rendezvous_barrier)
+                        initialize_distributed, rendezvous_barrier,
+                        pad_batch_to_shards)
 from ..train import (sgd_init, make_train_step, make_eval_step, TrainState,
                      optimizer_state_dict, load_optimizer_state_dict)
 from ..utils import (INFO, CAUTION, FATAL, ConditionalContextManager,
@@ -557,7 +558,7 @@ def _val_epoch(state, eval_step, loader, eval_fn, mesh, epoch, stage, master,
             # The mask is assembled into a GLOBAL array exactly like the
             # image/label batches so its length matches theirs under
             # multi-process runs (process-local length != global length).
-            imgs_u8, segs_u8, mask = _pad_batch(imgs_u8, segs_u8, n_shards)
+            imgs_u8, segs_u8, mask = pad_batch_to_shards(imgs_u8, segs_u8, n_shards)
             imgs_dev = jax.make_array_from_process_local_data(sharding, imgs_u8)
             segs_dev = jax.make_array_from_process_local_data(sharding3, segs_u8)
             mask_dev = jax.make_array_from_process_local_data(sharding1, mask)
@@ -594,16 +595,6 @@ def _val_epoch(state, eval_step, loader, eval_fn, mesh, epoch, stage, master,
     return (CE_avg(), MSE_avg(), FA_avg(), Total_avg()), miou(), mean_accuracy()
 
 
-def _pad_batch(imgs_u8, segs_u8, multiple):
-    """Pad a host batch to a multiple of the shard count; returns mask (B,)."""
-    n = imgs_u8.shape[0]
-    pad = (-n) % max(multiple, 1)
-    mask = np.ones((n + pad,), np.float32)
-    if pad:
-        mask[n:] = 0.0
-        imgs_u8 = np.concatenate([imgs_u8, np.zeros((pad, *imgs_u8.shape[1:]), imgs_u8.dtype)])
-        segs_u8 = np.concatenate([segs_u8, np.zeros((pad, *segs_u8.shape[1:]), segs_u8.dtype)])
-    return imgs_u8, segs_u8, mask
 
 
 def _first_local_sample(arr):

@@ -45,6 +45,23 @@ def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def pad_batch_to_shards(imgs_u8, segs_u8, multiple):
+    """Pad a host batch up to a multiple of the per-process shard count.
+
+    Returns ``(imgs, segs, mask)`` where mask (B,) f32 is 1 for real samples
+    and 0 for padding — the eval step (train/steps.py::make_eval_step) drops
+    masked rows from every loss and metric, making drop_last=False evaluation
+    exact on a sharded mesh."""
+    n = imgs_u8.shape[0]
+    pad = (-n) % max(multiple, 1)
+    mask = np.ones((n + pad,), np.float32)
+    if pad:
+        mask[n:] = 0.0
+        imgs_u8 = np.concatenate([imgs_u8, np.zeros((pad, *imgs_u8.shape[1:]), imgs_u8.dtype)])
+        segs_u8 = np.concatenate([segs_u8, np.zeros((pad, *segs_u8.shape[1:]), segs_u8.dtype)])
+    return imgs_u8, segs_u8, mask
+
+
 def is_master_rank() -> bool:
     """Replaces the reference's RANK == 0 gating (main.py:40)."""
     return jax.process_index() == 0

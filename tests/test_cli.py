@@ -82,13 +82,35 @@ def test_train_stage3_cascade(workdir):
     assert os.path.isfile(os.path.join('weights', 'stage3', 'final.weights'))
 
 
-def test_benchmark(workdir):
+def test_benchmark(workdir, monkeypatch):
+    """The benchmark command shards its eval over the full mesh; with
+    batch 4 on the 8-device test mesh every batch exercises the pad/mask
+    path, and the metrics must be identical to a single-device run."""
     run_cli('benchmark', '--weights', os.path.join('weights', 'stage1', 'final.weights'),
             '--dataset', 'cityscapes', 'val', '--device', 'cpu', '--batch-size', '4',
             '--num-workers', '2')
     assert os.path.isfile(os.path.join('outputs', 'benchmark.txt'))
-    content = open(os.path.join('outputs', 'benchmark.txt')).read()
-    assert 'mIoU %' in content and 'Cross Entropy' in content
+    content_mesh = open(os.path.join('outputs', 'benchmark.txt')).read()
+    assert 'mIoU %' in content_mesh and 'Cross Entropy' in content_mesh
+
+    import importlib
+    import jax
+    # The commands package re-exports the benchmark *function* under the
+    # submodule's name; import_module gets the module itself.
+    bench_mod = importlib.import_module(
+        'dualsuperreslearningforsemseg_tpu.commands.benchmark')
+    from dualsuperreslearningforsemseg_tpu.parallel import make_mesh
+    monkeypatch.setattr(bench_mod, 'make_mesh',
+                        lambda: make_mesh(jax.devices()[:1]))
+    run_cli('benchmark', '--weights', os.path.join('weights', 'stage1', 'final.weights'),
+            '--dataset', 'cityscapes', 'val', '--device', 'cpu', '--batch-size', '4',
+            '--num-workers', '2')
+    content_single = open(os.path.join('outputs', 'benchmark.txt')).read()
+
+    def metrics(text):
+        return {m.group(1): m.group(2) for m in re.finditer(
+            r'(Cross Entropy Error|mIoU %|Mean Accuracy %): ([0-9.]+)', text)}
+    assert metrics(content_mesh) == metrics(content_single) != {}
 
 
 def test_single_image(workdir, rng):
