@@ -214,7 +214,7 @@ def train_or_resume(is_resuming_training, device, distributed, mixed_precision,
         host_transform = make_host_warp_transform(aug_cfg, ds_settings.LABEL_MAPPING_LUT,
                                                   settings.RANDOM_SEED,
                                                   emit_position_labels=emit_positions)
-        post_fn = make_device_post_fn(aug_cfg)
+        post_fn = make_device_post_fn(aug_cfg, dtype=compute_dtype)
         augment_fn = None  # photometric tail is fused into the train step
     else:
         post_fn = None

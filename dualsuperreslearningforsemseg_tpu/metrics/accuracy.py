@@ -15,9 +15,9 @@ class Accuracy:
 
     def update(self, pred, target, valid_labels_mask):
         assert pred.shape == target.shape, \
-            "BUG CHECK: 'pred' and 'target' must be of the same shape of (B, H, W)."
+            "shape mismatch: pred {} vs target {}".format(pred.shape, target.shape)
         assert len(pred.shape) == 3, \
-            "BUG CHECK: 'target' and 'pred' must be (B, H, W) channel-order dimensions."
+            "expected rank-3 (B, H, W) class maps, got rank {}".format(len(pred.shape))
         pixels_correct = ((pred == target) * valid_labels_mask).sum()
         total_pixels = valid_labels_mask.sum()
         self.update_from_counts(pixels_correct, total_pixels)
@@ -27,7 +27,7 @@ class Accuracy:
         pixels_correct = float(pixels_correct)
         total_pixels = float(total_pixels)
         assert pixels_correct <= total_pixels, \
-            "BUG CHECK: 'pixels_correct' cannot be be greater than 'total_pixels'."
+            "invariant violated: more correct pixels than valid pixels"
         if total_pixels == 0:
             # A batch with zero valid pixels: the reference's numpy division
             # yields nan and the mean propagates it (Accuracy.py:25-29);

@@ -24,9 +24,9 @@ class mIoU:
 
     def update(self, pred, target, valid_labels_mask):
         assert pred.shape == target.shape, \
-            "BUG CHECK: 'pred' and 'target' must be of the same shape of (B, H, W)."
+            "shape mismatch: pred {} vs target {}".format(pred.shape, target.shape)
         assert len(pred.shape) == 3, \
-            "BUG CHECK: 'target' and 'pred' must be (B, H, W) channel-order dimensions."
+            "expected rank-3 (B, H, W) class maps, got rank {}".format(len(pred.shape))
 
         pred = pred.astype(np.int64) + 1
         target = target.astype(np.int64) + 1
@@ -45,7 +45,7 @@ class mIoU:
         area_target = np.asarray(area_target, dtype=np.float64)
         area_union = area_pred + area_target - area_inter
         assert (area_inter <= area_union).all(), \
-            "BUG CHECK: Intersection area should always be less than or equal to union area."
+            "invariant violated: intersection exceeds union"
         with np.errstate(divide='ignore', invalid='ignore'):
             self.ious.append(np.nanmean(area_inter / area_union))
 

@@ -25,10 +25,12 @@ class ASPP(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def _branch(self, idx, kernel, padding, dilation):
+        # dtype is the COMPUTE dtype — without it nn.Conv promotes bf16
+        # activations with f32 params to an f32 conv (models/resnet.py::_conv).
         conv = nn.Conv(self.out_channels, (kernel, kernel),
                        kernel_dilation=(dilation, dilation),
                        padding=((padding, padding), (padding, padding)),
-                       use_bias=False, param_dtype=jnp.float32,
+                       use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
                        kernel_init=kaiming_normal_fan_out_conv,
                        name=f'branches.{idx}.0')
         bn = TorchBatchNorm(self.out_channels, dtype=self.dtype, name=f'branches.{idx}.1')

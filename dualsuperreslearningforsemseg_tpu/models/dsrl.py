@@ -45,13 +45,17 @@ from ..ops.conv import (conv_transpose_2x2_stride2,
 from ..consts import NUM_RGB_CHANNELS
 
 
-def _conv(features, kernel, stride=1, padding=0, use_bias=False, in_channels=None, name=None):
+def _conv(features, kernel, stride=1, padding=0, use_bias=False, in_channels=None, name=None,
+          dtype=jnp.float32):
+    # ``dtype`` is the COMPUTE dtype; nn.Conv's default would promote bf16
+    # activations with the f32 params into f32 convolutions (see
+    # models/resnet.py::_conv — the round-3 profile finding).
     bias_init = nn.initializers.zeros
     if use_bias and in_channels is not None:
         bias_init = torch_conv_bias_init(in_channels * kernel * kernel)
     return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
                    padding=((padding, padding), (padding, padding)),
-                   use_bias=use_bias, param_dtype=jnp.float32,
+                   use_bias=use_bias, dtype=dtype, param_dtype=jnp.float32,
                    kernel_init=kaiming_normal_fan_out_conv,
                    bias_init=bias_init, name=name)
 
@@ -101,10 +105,27 @@ class FeatureExtractor(nn.Module):
         aspp_features = ASPP(out_channels=256, rate=1, dtype=self.dtype, name='aspp')(backbone_features, train, freeze_bn)
         h, w = aspp_features.shape[1:3]
         aspp_features = resize_bilinear_matmul(aspp_features, (4 * h, 4 * w))
-        shortcut = _conv(48, 1, name='shortcut_conv.0')(lowlevel_features)
+        shortcut = _conv(48, 1, name='shortcut_conv.0', dtype=self.dtype)(lowlevel_features)
         shortcut = TorchBatchNorm(48, dtype=self.dtype, name='shortcut_conv.1')(shortcut, use_ra)
         shortcut = nn.relu(shortcut)
         return jnp.concatenate([aspp_features, shortcut], axis=-1)
+
+
+def _even_hw_select(y):
+    """``y[:, ::2, ::2]`` as two one-hot matmuls.
+
+    The strided slice of the (B, H, W, 4, C) grouped activation lowers to a
+    TPU gather traced at 1.0 ms/step (2 GB/s effective); the selection
+    matmuls run on the MXU in ~0.06 ms and their VJP is the transposed
+    matmul instead of a pad-scatter (CLAUDE.md perf rule 1).  Exact: each
+    output element is a single 1.0 * x product."""
+    h, w = y.shape[1], y.shape[2]
+    sel_h = (jnp.arange(h // 2)[:, None] * 2 ==
+             jnp.arange(h)[None, :]).astype(y.dtype)
+    sel_w = (jnp.arange(w // 2)[:, None] * 2 ==
+             jnp.arange(w)[None, :]).astype(y.dtype)
+    y = jnp.einsum('mh,bhwgc->bmwgc', sel_h, y)
+    return jnp.einsum('nw,bmwgc->bmngc', sel_w, y)
 
 
 class SSSRDecoder(nn.Module):
@@ -120,16 +141,17 @@ class SSSRDecoder(nn.Module):
         the pre-final-ConvT activation (fused-tail training)."""
         use_ra = (not train) or freeze_bn
         det = not train
-        y = _conv(256, 3, padding=1, name='cat_conv.0')(x)
+        y = _conv(256, 3, padding=1, name='cat_conv.0', dtype=self.dtype)(x)
         y = TorchBatchNorm(256, dtype=self.dtype, name='cat_conv.1')(y, use_ra)
         y = nn.relu(y)
         y = nn.Dropout(0.2, deterministic=det, name='cat_conv.3')(y)
-        y = _conv(256, 3, padding=1, name='cat_conv.4')(y)
+        y = _conv(256, 3, padding=1, name='cat_conv.4', dtype=self.dtype)(y)
         y = TorchBatchNorm(256, dtype=self.dtype, name='cat_conv.5')(y, use_ra)
         y = nn.relu(y)
         y = nn.Dropout(0.2, deterministic=det, name='cat_conv.7')(y)
 
-        y = _conv(self.num_classes, 1, use_bias=True, in_channels=256, name='cls_conv')(y)
+        y = _conv(self.num_classes, 1, use_bias=True, in_channels=256, name='cls_conv',
+                  dtype=self.dtype)(y)
 
         h, w = y.shape[1:3]
         y = resize_bilinear_matmul(y, (2 * h, 2 * w))
@@ -164,7 +186,7 @@ class SSSRDecoder(nn.Module):
         # values as slicing `out` — but AD pads an (B,H,W,4,C) gradient here
         # instead of the (B,H,W,16,C) logits (~8 ms/step cheaper on v5e).
         assert grouped, "FA corner feed is a grouped-layout optimization"
-        fa_corner = convt_final(y[:, ::2, ::2, 0, :], corner=True)
+        fa_corner = convt_final(_even_hw_select(y)[..., 0, :], corner=True)
         return out, fa_corner
 
 
@@ -184,7 +206,7 @@ class SISRDecoder(nn.Module):
     def __call__(self, x, grouped: bool = False):
         r = self.upscale_factor
         y = _conv(NUM_RGB_CHANNELS * r * r, 3, padding=1, use_bias=True,
-                  in_channels=x.shape[-1], name='0')(x)
+                  in_channels=x.shape[-1], name='0', dtype=self.dtype)(x)
         return y if grouped else pixel_shuffle(y, r)
 
 
@@ -200,7 +222,7 @@ class FeatureTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool, freeze_bn: bool = False):
-        y = _conv(1, 1, stride=self.stride, name='0')(x)
+        y = _conv(1, 1, stride=self.stride, name='0', dtype=self.dtype)(x)
         y = TorchBatchNorm(1, dtype=self.dtype, name='1')(y, (not train) or freeze_bn)
         return nn.relu(y)
 

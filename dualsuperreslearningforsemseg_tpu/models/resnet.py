@@ -33,11 +33,16 @@ from .norm import TorchBatchNorm
 from .init import kaiming_normal_fan_out_conv
 
 
-def _conv(features, kernel, stride=1, dilation=1, padding=0, name=None):
+def _conv(features, kernel, stride=1, dilation=1, padding=0, name=None,
+          dtype=jnp.float32):
+    # ``dtype`` is the COMPUTE dtype and must be threaded explicitly:
+    # nn.Conv's default (None) promotes the bf16 activations with the f32
+    # params to an f32 convolution — traced at 21-30 TF/s on layer1 vs the
+    # bf16 MXU path's 150+ (the round-3 profile's single largest finding).
     return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
                    kernel_dilation=(dilation, dilation),
                    padding=((padding, padding), (padding, padding)),
-                   use_bias=False, dtype=None, param_dtype=jnp.float32,
+                   use_bias=False, dtype=dtype, param_dtype=jnp.float32,
                    kernel_init=kaiming_normal_fan_out_conv, name=name)
 
 
@@ -58,21 +63,22 @@ class Bottleneck(nn.Module):
         out_ch = self.planes * self.expansion
         use_ra = (not train) or freeze_bn
 
-        y = _conv(width, 1, name='conv1')(x)
+        y = _conv(width, 1, name='conv1', dtype=self.dtype)(x)
         y = TorchBatchNorm(width, dtype=self.dtype, name='bn1')(y, use_ra)
         y = nn.relu(y)
         y = _conv(width, 3, stride=self.stride, dilation=self.dilation,
-                  padding=self.dilation, name='conv2')(y)
+                  padding=self.dilation, name='conv2', dtype=self.dtype)(y)
         y = TorchBatchNorm(width, dtype=self.dtype, name='bn2')(y, use_ra)
         y = nn.relu(y)
-        y = _conv(out_ch, 1, name='conv3')(y)
+        y = _conv(out_ch, 1, name='conv3', dtype=self.dtype)(y)
         # Reference zero-inits the last BN scale of every block
         # (ResNet101.py:52-53) so the residual path starts as identity.
         bn3_init = nn.initializers.zeros if self.zero_init_last_bn else nn.initializers.ones
         y = TorchBatchNorm(out_ch, dtype=self.dtype, weight_init=bn3_init, name='bn3')(y, use_ra)
 
         if self.has_downsample:
-            identity = _conv(out_ch, 1, stride=self.stride, name='downsample.0')(x)
+            identity = _conv(out_ch, 1, stride=self.stride, name='downsample.0',
+                             dtype=self.dtype)(x)
             identity = TorchBatchNorm(out_ch, dtype=self.dtype, name='downsample.1')(identity, use_ra)
         else:
             identity = x
@@ -90,7 +96,7 @@ class ResNet101(nn.Module):
         use_ra = (not train) or freeze_bn
         x = x.astype(self.dtype)
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                    use_bias=False, param_dtype=jnp.float32,
+                    use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
                     kernel_init=kaiming_normal_fan_out_conv, name='conv1')(x)
         x = TorchBatchNorm(64, dtype=self.dtype, name='bn1')(x, use_ra)
         x = nn.relu(x)

@@ -19,7 +19,6 @@ TPU-native deviations (each accepted-and-mapped rather than removed):
 """
 
 import argparse
-import functools
 import json
 import multiprocessing
 import os
@@ -224,37 +223,37 @@ def parse_cmdline_and_invoke_main(args):
         # ---- post-parse validation (parity: main.py:213-407) ----
         if args.command == 'train':
             if not args.num_workers >= 0:
-                raise argparse.ArgumentTypeError("'--num-workers' should be greater than or equal to 0!")
+                raise argparse.ArgumentTypeError("--num-workers must be >= 0.")
             if not args.val_interval > 0:
-                raise argparse.ArgumentTypeError("'--val-interval' should be greater than 0!")
+                raise argparse.ArgumentTypeError("--val-interval must be a positive number of epochs.")
             if not args.checkpoint_interval > 0:
-                raise argparse.ArgumentTypeError("'--checkpoint-interval' should be greater than 0!")
+                raise argparse.ArgumentTypeError("--checkpoint-interval must be a positive number of epochs.")
             if not args.checkpoint_history >= 0:
-                raise argparse.ArgumentTypeError("'--checkpoint-history' should be greater than or equal (to disable) 0!")
+                raise argparse.ArgumentTypeError("--checkpoint-history must be >= 0 (0 disables autosaving).")
             if args.init_weights:
                 if not any(hasExtension(args.init_weights, x) for x in ['.checkpoint', '.weights']):
-                    raise argparse.ArgumentTypeError("'--init-weights' must be of either '.checkpoint' or '.weights' file type!")
+                    raise argparse.ArgumentTypeError("--init-weights expects a .checkpoint or .weights file.")
                 if not os.path.isfile(args.init_weights):
-                    raise argparse.ArgumentTypeError("Couldn't find initial weights file '{0:s}'!".format(args.init_weights))
+                    raise argparse.ArgumentTypeError("No such weights file: '{}'.".format(args.init_weights))
                 args.init_weights = os.path.abspath(args.init_weights)
             if not args.batch_size > 0:
-                raise argparse.ArgumentTypeError("'--batch-size' should be greater than 0!")
+                raise argparse.ArgumentTypeError("--batch-size must be a positive integer.")
             if not args.epochs > 0:
-                raise argparse.ArgumentTypeError("'--epochs' should be specified and it must be greater than 0!")
+                raise argparse.ArgumentTypeError("--epochs must be a positive integer.")
             if not args.learning_rate > 0.:
-                raise argparse.ArgumentTypeError("'--learning-rate' should be greater than 0!")
+                raise argparse.ArgumentTypeError("--learning-rate must be > 0.")
             if not args.momentum > 0.:
-                raise argparse.ArgumentTypeError("'--momentum' should be greater than 0!")
+                raise argparse.ArgumentTypeError("--momentum must be > 0.")
             if not args.weights_decay > 0.:
-                raise argparse.ArgumentTypeError("'--weights-decay' should be greater than 0!")
+                raise argparse.ArgumentTypeError("--weights-decay must be > 0.")
             if not args.poly_power > 0.:
-                raise argparse.ArgumentTypeError("'--poly-power' should be greater than 0!")
+                raise argparse.ArgumentTypeError("--poly-power must be > 0.")
             if args.experiment_id:
                 if isInvalidFilename(args.experiment_id):
-                    raise argparse.ArgumentTypeError("'--experiment-id' must not contain invalid filename characters ({:s})!".format(', '.join(INVALID_FILENAME_CHARS)))
+                    raise argparse.ArgumentTypeError("--experiment-id may not contain any of: {}.".format(', '.join(INVALID_FILENAME_CHARS)))
                 args.experiment_id = os.path.join(settings.EXPERIMENTS_ROOT_DIR, args.experiment_id)
                 if os.path.isdir(args.experiment_id):
-                    raise argparse.ArgumentTypeError("'--experiment-id' already exists and overwriting experiment directory is not supported!")
+                    raise argparse.ArgumentTypeError("An experiment named '{}' already exists; pick a new id (experiment directories are never overwritten).".format(os.path.basename(args.experiment_id)))
             if os.path.isfile(os.path.join(args.experiment_id, settings.WEIGHTS_DIR.format(stage=args.stage), settings.FINAL_WEIGHTS_FILE)):
                 answer = 'y' if args.yes else input(CAUTION("Weights file for this stage already exists. Training will delete the current weights and logs. Continue? (y/n) ")).casefold()
                 if answer == 'y':
@@ -264,30 +263,33 @@ def parse_cmdline_and_invoke_main(args):
                     sys.exit(0)
 
         elif args.command == 'config-train':
+            # Each top-level JSON key/value becomes a '--key value' pair of a
+            # 'train' invocation, which runs in a child process so its exit
+            # code (and any Ctrl+C handling) is isolated from this parser.
             if not os.path.isfile(args.file):
-                raise argparse.ArgumentTypeError("File specified in '--file' parameter doesn't exists!")
+                raise argparse.ArgumentTypeError("No such config file: '{}'.".format(args.file))
             try:
-                def correct_JSON_parse_hook(pairs):
-                    return {('--' + c): str(a) for c, a in pairs}
-
-                with open(args.file, 'r') as train_config_file:
-                    train_config_dict = json.load(train_config_file, object_pairs_hook=correct_JSON_parse_hook)
-                train_process_args = ['train', *functools.reduce(lambda k, v: k + v, train_config_dict.items())]
-                train_process = multiprocessing.Process(target=parse_cmdline_and_invoke_main,
-                                                        args=(train_process_args,))
+                with open(args.file) as config_file:
+                    config = json.load(config_file)
+            except json.JSONDecodeError as ex:
+                raise argparse.ArgumentTypeError("'{}' is not valid JSON: {}".format(args.file, ex))
+            train_argv = ['train']
+            for key, value in config.items():
+                train_argv += ['--' + key, str(value)]
+            train_process = multiprocessing.Process(target=parse_cmdline_and_invoke_main,
+                                                    args=(train_argv,))
+            try:
                 train_process.start()
                 train_process.join()
-                sys.exit(train_process.exitcode)
-            except json.JSONDecodeError as ex:
-                raise argparse.ArgumentTypeError("Parsing configuration JSON file raised exception: {:}".format(str(ex)))
             except KeyboardInterrupt:
                 sys.exit(0)
+            sys.exit(train_process.exitcode)
 
         elif args.command == 'resume-train':
             if not hasExtension(args.checkpoint, '.checkpoint'):
-                raise argparse.ArgumentTypeError("Please specify a '.checkpoint' file as the whole model and optimizer states needs to be loaded!")
+                raise argparse.ArgumentTypeError("resume-train needs a full .checkpoint file (model + optimizer + engine state), not a .weights file.")
             if not os.path.isfile(args.checkpoint):
-                raise argparse.ArgumentTypeError("Couldn't find checkpoint file '{0:s}'!".format(args.checkpoint))
+                raise argparse.ArgumentTypeError("No such checkpoint file: '{}'.".format(args.checkpoint))
             # Resume runs on the device the checkpoint was trained with (the
             # reference re-applies every checkpointed hyperparameter,
             # main.py:48-52); peek before the platform is selected below.
@@ -299,13 +301,13 @@ def parse_cmdline_and_invoke_main(args):
 
         elif args.command == 'test':
             if args.image_file and not os.path.isfile(args.image_file):
-                raise argparse.ArgumentTypeError("File specified in '--image-file' parameter doesn't exists!")
+                raise argparse.ArgumentTypeError("No such image file: '{}'.".format(args.image_file))
             if args.images_dir and not os.path.isdir(args.images_dir):
-                raise argparse.ArgumentTypeError("Directory specified in '--images-dir' parameter doesn't exists!")
+                raise argparse.ArgumentTypeError("No such directory: '{}'.".format(args.images_dir))
             if not args.compiled_model and not any(hasExtension(args.weights, x) for x in ['.checkpoint', '.weights']):
-                raise argparse.ArgumentTypeError("'--weights' must be of either '.checkpoint' or '.weights' file type!")
+                raise argparse.ArgumentTypeError("--weights expects a .checkpoint or .weights file.")
             if not os.path.isfile(args.weights):
-                raise argparse.ArgumentTypeError("Couldn't find weights file '{:s}'!".format(args.weights))
+                raise argparse.ArgumentTypeError("No such weights file: '{}'.".format(args.weights))
 
         elif args.command == 'purge-weights-logs':
             answer = 'y' if args.yes else input('This will delete {:s} logs and weights. Continue? (y/n) '.format('all' if args.all else 'stage {:d}'.format(args.stage))).casefold()
@@ -322,9 +324,9 @@ def parse_cmdline_and_invoke_main(args):
 
         elif args.command in ('purne-weights', 'prune-weights'):
             if not any(hasExtension(args.src_weights, x) for x in ['.checkpoint', '.weights']):
-                raise argparse.ArgumentTypeError("'--src-weights' must be of either '.checkpoint' or '.weights' file type!")
+                raise argparse.ArgumentTypeError("--src-weights expects a .checkpoint or .weights file.")
             if not os.path.isfile(args.src_weights):
-                raise argparse.ArgumentTypeError("File specified in '--src-weights' parameter doesn't exists!")
+                raise argparse.ArgumentTypeError("No such weights file: '{}'.".format(args.src_weights))
             if os.path.isfile(args.dest_weights):
                 answer = 'y' if args.yes else input(CAUTION("Destination weights file specified already exists. This will overwrite the file. Continue (y/n)? ")).casefold()
                 if answer != 'y':
@@ -332,25 +334,25 @@ def parse_cmdline_and_invoke_main(args):
 
         elif args.command in ('inspect-checkpoint', 'edit-checkpoint'):
             if not hasExtension(args.checkpoint, '.checkpoint'):
-                raise argparse.ArgumentTypeError("Please specify a '.checkpoint' file!")
+                raise argparse.ArgumentTypeError("--checkpoint expects a .checkpoint file.")
             if not os.path.isfile(args.checkpoint):
-                raise argparse.ArgumentTypeError("Couldn't find checkpoint file '{0:s}'!".format(args.checkpoint))
+                raise argparse.ArgumentTypeError("No such checkpoint file: '{}'.".format(args.checkpoint))
 
         elif args.command == 'benchmark':
             if not any(hasExtension(args.weights, x) for x in ['.checkpoint', '.weights']):
-                raise argparse.ArgumentTypeError("'--weights' must be of either '.checkpoint' or '.weights' file type!")
+                raise argparse.ArgumentTypeError("--weights expects a .checkpoint or .weights file.")
             if not os.path.isfile(args.weights):
-                raise argparse.ArgumentTypeError("Couldn't find the specified weights file '{:s}'!".format(args.weights))
+                raise argparse.ArgumentTypeError("No such weights file: '{}'.".format(args.weights))
             if not args.num_workers >= 0:
-                raise argparse.ArgumentTypeError("'--num-workers' should be greater than or equal to 0!")
+                raise argparse.ArgumentTypeError("--num-workers must be >= 0.")
             if not args.batch_size > 0:
-                raise argparse.ArgumentTypeError("'--batch-size' should be greater than 0!")
+                raise argparse.ArgumentTypeError("--batch-size must be a positive integer.")
 
         elif args.command == 'compile-model':
             if not any(hasExtension(args.weights, x) for x in ['.checkpoint', '.weights']):
-                raise argparse.ArgumentTypeError("'--weights' must be of either '.checkpoint' or '.weights' file type!")
+                raise argparse.ArgumentTypeError("--weights expects a .checkpoint or .weights file.")
             if not os.path.isfile(args.weights):
-                raise argparse.ArgumentTypeError("Couldn't find weights file '{:s}'!".format(args.weights))
+                raise argparse.ArgumentTypeError("No such weights file: '{}'.".format(args.weights))
 
         _select_platform(args)
 

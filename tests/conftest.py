@@ -21,11 +21,18 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# DSRL_TPU_TESTS_ON_TPU=1 leaves jax on the default (TPU) backend so the
+# hardware-gated tests (tests/test_pallas_tail_tpu.py) run compiled instead
+# of skipping; everything else still passes there, just slower.
+_ON_TPU = os.environ.get("DSRL_TPU_TESTS_ON_TPU") == "1"
+if not _ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
 # Persistent compile cache: the CLI end-to-end tests trigger ~10 full-model
 # CPU compiles; caching makes warm reruns several times faster.
 try:
-    jax.config.update("jax_compilation_cache_dir", "/tmp/dsrl_tpu_jax_cache_cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/dsrl_tpu_jax_cache" if _ON_TPU
+                      else "/tmp/dsrl_tpu_jax_cache_cpu")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:
     pass

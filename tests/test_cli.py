@@ -187,7 +187,7 @@ def test_config_train_json_bridge(workdir, capsys):
     # Validation error path: config file must exist (ArgumentTypeError is
     # caught at top level and reported as FATAL, parity with main.py:424-426).
     run_cli('config-train', '--file', 'nonexistent.json')
-    assert "doesn't exists" in capsys.readouterr().out
+    assert "No such config file" in capsys.readouterr().out
 
 
 def test_cli_validation_errors(workdir, capsys):
@@ -196,11 +196,11 @@ def test_cli_validation_errors(workdir, capsys):
     assert 'FATAL' in capsys.readouterr().out
 
     run_cli('benchmark', '--weights', 'missing.weights', '--dataset', 'cityscapes', 'val')
-    assert "Couldn't find" in capsys.readouterr().out
+    assert "No such weights file" in capsys.readouterr().out
 
     run_cli('test', '--image-file', 'no_such.png',
             '--weights', os.path.join('weights', 'stage1', 'final.weights'))
-    assert "doesn't exists" in capsys.readouterr().out
+    assert "No such image file" in capsys.readouterr().out
 
 
 def test_checkpoint_history_pruning_and_early_stop(workdir):
