@@ -26,7 +26,6 @@ path — zoo/stage-cascade weights overwrite the init either way.
 
 from typing import Sequence
 
-import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -45,47 +44,6 @@ def _conv(features, kernel, stride=1, dilation=1, padding=0, name=None,
                    padding=((padding, padding), (padding, padding)),
                    use_bias=False, dtype=dtype, param_dtype=jnp.float32,
                    kernel_init=kaiming_normal_fan_out_conv, name=name)
-
-
-class StemConv7x7(nn.Module):
-    """The 7x7/stride-2 stem convolution, computed space-to-depth.
-
-    A direct 7x7/s2 conv on a 3-channel image runs the MXU at ~12 TF/s on
-    v5e (3 input channels occupy 3 of 8 sublanes; round-3 trace): the
-    mathematically identical formulation folds 2x2 spatial blocks into the
-    channel axis (3 -> 12 channels) and applies a 4x4/stride-1 conv whose
-    kernel is the zero-row-padded 7x7 kernel space-to-depth'd the same way
-    (the MLPerf ResNet stem trick).  The parameter keeps the torch
-    name/shape ('conv1.weight', (7,7,3,C) HWIO here) so checkpoints and the
-    zoo import are unaffected; equivalence is pinned by
-    tests/test_model.py::test_stem_conv_space_to_depth_equivalence.
-    """
-    features: int = 64
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        c = x.shape[-1]
-        kernel = self.param('kernel', kaiming_normal_fan_out_conv,
-                            (7, 7, c, self.features), jnp.float32)
-        b, h, w, _ = x.shape
-        if h % 2 or w % 2:
-            return jax.lax.conv_general_dilated(
-                x.astype(self.dtype), kernel.astype(self.dtype),
-                window_strides=(2, 2), padding=((3, 3), (3, 3)),
-                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
-        # x2[b, i, j, (di*2+dj)*c + ch] = x[b, 2i+di, 2j+dj, ch]
-        x2 = x.reshape(b, h // 2, 2, w // 2, 2, c)
-        x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
-        # k2[u, v, (di*2+dj)*c + ch, o] = K[2u+di-1, 2v+dj-1, ch, o]
-        # (out-of-range taps hit the zero padding row/column).
-        kp = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
-        k2 = kp.reshape(4, 2, 4, 2, c, self.features)
-        k2 = k2.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, self.features)
-        return jax.lax.conv_general_dilated(
-            x2.astype(self.dtype), k2.astype(self.dtype),
-            window_strides=(1, 1), padding=((2, 1), (2, 1)),
-            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
 
 
 class Bottleneck(nn.Module):
@@ -137,7 +95,15 @@ class ResNet101(nn.Module):
     def __call__(self, x, train: bool, freeze_bn: bool = False):
         use_ra = (not train) or freeze_bn
         x = x.astype(self.dtype)
-        x = StemConv7x7(features=64, dtype=self.dtype, name='conv1')(x)
+        # NB (round 3, measured): the 7x7/s2 stem runs the MXU at only ~12
+        # TF/s (3-channel input), but the space-to-depth reformulation
+        # (fold 2x2 blocks -> 12 channels, 4x4/s1 conv on a zero-padded
+        # kernel) LOST end-to-end: 275 -> 260 img/s/chip — the 6-D input
+        # relayout and the changed downstream layouts cost more than the
+        # ~1.4 ms the conv saves.  Keep the direct form.
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+                    kernel_init=kaiming_normal_fan_out_conv, name='conv1')(x)
         x = TorchBatchNorm(64, dtype=self.dtype, name='bn1')(x, use_ra)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))

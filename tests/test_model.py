@@ -137,24 +137,3 @@ def test_bf16_forward_finite():
     assert outs[0].dtype == jnp.bfloat16
     assert bool(jnp.isfinite(outs[0].astype(jnp.float32)).all())
 
-
-def test_stem_conv_space_to_depth_equivalence(rng):
-    """StemConv7x7's space-to-depth formulation == a direct 7x7/s2/p3 conv
-    with the same kernel (models/resnet.py::StemConv7x7)."""
-    import jax.numpy as jnp
-    from dualsuperreslearningforsemseg_tpu.models.resnet import StemConv7x7
-    x = jnp.asarray(rng.standard_normal((2, 64, 96, 3)), jnp.float32)
-    stem = StemConv7x7(features=16)
-    variables = stem.init(jax.random.PRNGKey(3), x)
-    got = stem.apply(variables, x)
-    want = jax.lax.conv_general_dilated(
-        x, variables['params']['kernel'],
-        window_strides=(2, 2), padding=((3, 3), (3, 3)),
-        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
-    assert got.shape == want.shape == (2, 32, 48, 16)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=1e-5, atol=1e-5)
-    # odd-size input takes the direct path and must still work
-    x_odd = jnp.asarray(rng.standard_normal((1, 33, 47, 3)), jnp.float32)
-    out_odd = stem.apply(variables, x_odd)
-    assert out_odd.shape == (1, 17, 24, 16)
