@@ -26,7 +26,7 @@ _warned = False
 # rebuilds) any .so reporting an older version, so a stale library left in the
 # tree can never advertise features it lacks — callers that see
 # native_available() may rely on every symbol below existing.
-_EXPECTED_VERSION = 2
+_EXPECTED_VERSION = 3
 _REQUIRED_SYMBOLS = ('dp_version', 'dp_decode_png', 'dp_decode_pair_batch',
                      'dp_warp_pair_batch', 'dp_labels_positions_t')
 
@@ -113,7 +113,12 @@ def native_available() -> bool:
     return get_lib() is not None
 
 
-def decode_pair_batch(img_paths, seg_paths, size_hw, lut=None, threads=8):
+def _default_threads():
+    # CPU-bound native loops: more threads than cores only thrashes.
+    return max(1, min(8, os.cpu_count() or 8))
+
+
+def decode_pair_batch(img_paths, seg_paths, size_hw, lut=None, threads=None):
     """Decode n (image, labelIds) PNG pairs into batched uint8 arrays.
 
     Returns (imgs (n,h,w,3) u8, segs (n,h,w) u8) or raises RuntimeError with
@@ -136,13 +141,13 @@ def decode_pair_batch(img_paths, seg_paths, size_hw, lut=None, threads=8):
         c_imgs, c_segs, n,
         imgs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         segs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        h, w, lut_arg, threads)
+        h, w, lut_arg, threads if threads is not None else _default_threads())
     if err != 0:
         raise RuntimeError("native decode failed with code {}".format(err))
     return imgs, segs
 
 
-def warp_pair_batch(imgs, segs, matrices, out_hw, lut=None, threads=8):
+def warp_pair_batch(imgs, segs, matrices, out_hw, lut=None, threads=None):
     """Affine-warp a batch on the host: bilinear for images (fill 0), nearest
     + optional LUT for labels (fill 255).
 
@@ -175,13 +180,13 @@ def warp_pair_batch(imgs, segs, matrices, out_hw, lut=None, threads=8):
         oh, ow,
         imgs_out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         segs_out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        lut_arg, threads)
+        lut_arg, threads if threads is not None else _default_threads())
     if err != 0:
         raise RuntimeError("native warp failed with code {}".format(err))
     return imgs_out, segs_out
 
 
-def labels_positions_t(segs, threads=8):
+def labels_positions_t(segs, threads=None):
     """Re-layout warped label maps into the fused tail kernel's operand.
 
     Args:
@@ -201,7 +206,8 @@ def labels_positions_t(segs, threads=8):
     err = lib.dp_labels_positions_t(
         segs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         n, oh, ow,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), threads)
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        threads if threads is not None else _default_threads())
     if err != 0:
         raise RuntimeError("native label layout failed with code {}".format(err))
     return out
