@@ -15,6 +15,7 @@ size, then strided by rank — so multi-host runs see disjoint shards with
 identical ordering law.
 """
 
+import os
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -67,7 +68,13 @@ class Loader:
         self.sampler = ShardedSampler(len(dataset), world_size, rank, shuffle,
                                       seed, drop_last)
         self.drop_last = drop_last
-        self.num_workers = max(1, num_workers)
+        # Decode jobs are CPU-bound native code, so concurrency beyond the
+        # core count only thrashes (measured 2x slower on a 1-core host);
+        # clamp the job pool and split the cores among concurrent jobs for
+        # the per-call native thread count.
+        cores = os.cpu_count() or 4
+        self.num_workers = max(1, min(num_workers, cores))
+        self.native_threads = max(1, cores // self.num_workers)
         self.prefetch = prefetch
         self.epoch = 0
         # Native C++ batch decode (threaded libpng) when the dataset exposes
@@ -109,7 +116,7 @@ class Loader:
                 seg_paths = [self.dataset.pairs[int(i)][1] for i in batch_idx]
                 try:
                     imgs, segs = decode_pair_batch(img_paths, seg_paths, self._native_hw,
-                                                   threads=max(2, self.num_workers))
+                                                   threads=self.native_threads)
                 except RuntimeError:
                     imgs = segs = None  # fall through to PIL
             if imgs is None:
