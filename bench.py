@@ -191,11 +191,12 @@ def _train_throughput_with_loader(stage, tree_images=96):
     drives it.  Matches the reference's DataLoader hot path
     (/root/reference/command_handlers/train_or_resume.py:141-153).
 
-    The synthetic tree is cached under /tmp/dsrl_bench_tree (PNG noise
-    content is comparable in size to real Cityscapes frames).  The short
-    synthetic epoch (tree_images / global batch steps) restarts the loader's
-    prefetch more often than a real 2975-image epoch would, so this reads as
-    a LOWER bound on the sustained rate."""
+    The synthetic tree is cached under /tmp/dsrl_bench_tree_v2 with frames
+    that PNG-compress to ~2.2 MB — the size of a real Cityscapes leftImg8bit
+    frame — so decode cost is representative.  The file list is repeated so
+    the measured window fits in ONE loader epoch (a real 2975-image epoch
+    amortizes the prefetch restart the same way; re-decoding the same file
+    costs exactly what a distinct file of the same size costs)."""
     import os
     import jax
     import jax.numpy as jnp
@@ -214,13 +215,14 @@ def _train_throughput_with_loader(stage, tree_images=96):
     input_hw, output_hw = (256, 512), (512, 1024)
     source_hw = (1024, 2048)
 
-    tree = '/tmp/dsrl_bench_tree'
+    tree = '/tmp/dsrl_bench_tree_v2'
     dataset = CityscapesDataset(tree, split='train')
     if len(dataset) < tree_images:
         print("generating {} synthetic {}x{} frames under {} (one-time)...".format(
             tree_images, *source_hw, tree), file=sys.stderr)
         make_synthetic_cityscapes_tree(tree, split='train',
-                                       num_images=tree_images, size_hw=source_hw)
+                                       num_images=tree_images, size_hw=source_hw,
+                                       noise=1)
         dataset = CityscapesDataset(tree, split='train')
 
     model = DSRL(stage=stage, num_classes=cs.NUM_CLASSES, dtype=jnp.bfloat16)
@@ -242,8 +244,43 @@ def _train_throughput_with_loader(stage, tree_images=96):
                                               settings.RANDOM_SEED,
                                               emit_position_labels=True)
     global_batch = BATCH * n_chips
-    loader = Loader(dataset, batch_size=global_batch, shuffle=True,
-                    num_workers=settings.DEFAULT_NUM_WORKERS,
+
+    # Host-side cost accounting (min over reps filters VM scheduling noise).
+    breakdown = {"loader_host_cores": os.cpu_count() or 1}
+    try:
+        from dualsuperreslearningforsemseg_tpu.data.native import decode_pair_batch
+        probe = min(8, len(dataset))
+        ipaths = [dataset.pairs[i][0] for i in range(probe)]
+        spaths = [dataset.pairs[i][1] for i in range(probe)]
+        td = tw = float('inf')
+        for _ in range(3):
+            t0 = time.perf_counter()
+            p_imgs, p_segs = decode_pair_batch(ipaths, spaths, source_hw, threads=1)
+            td = min(td, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            host_transform(0, 0, p_imgs, p_segs)
+            tw = min(tw, time.perf_counter() - t0)
+        breakdown["loader_decode_ms_per_image"] = round(td * 1000.0 / probe, 2)
+        breakdown["loader_warp_ms_per_image"] = round(tw * 1000.0 / probe, 2)
+    except Exception as exc:
+        print("loader breakdown probe failed: {}".format(exc), file=sys.stderr)
+
+    # One long epoch over a repeated file list: the 42-step measured window
+    # then has no prefetch restarts, matching a real 2975-image epoch.
+    class _RepeatedTree:
+        def __init__(self, ds, k):
+            self.pairs = list(ds.pairs) * k
+            self._ds, self._n = ds, len(ds)
+
+        def __len__(self):
+            return len(self.pairs)
+
+        def __getitem__(self, index):
+            return self._ds[index % self._n]
+
+    repeats = max(1, -(-(48 * global_batch) // len(dataset)))
+    loader = Loader(_RepeatedTree(dataset, repeats), batch_size=global_batch,
+                    shuffle=True, num_workers=settings.DEFAULT_NUM_WORKERS,
                     host_transform=host_transform)
 
     def batches():
@@ -284,7 +321,7 @@ def _train_throughput_with_loader(stage, tree_images=96):
         state, key, losses = step(state, key, next(stream))
     jax.block_until_ready(losses)
     elapsed = time.time() - start
-    return measure * global_batch / elapsed / n_chips
+    return measure * global_batch / elapsed / n_chips, breakdown
 
 
 def _p50_test_latency():
@@ -332,7 +369,12 @@ def _p50_test_latency():
     assert pred.shape == output_hw
 
     # Device-only: one resident input, K dispatches in flight, divide.
+    # The committed operand is a distinct program from the uncommitted
+    # warmup call above — warm it separately or its (remote, ~1 min)
+    # compile lands inside the timed loop.
     x_dev = jax.device_put(jnp.asarray(x_host), jax.devices()[0])
+    _retry(lambda: jax.block_until_ready(pipeline(variables, x_dev)),
+           "device-latency warmup")
     reps = LATENCY_REPS
     start = time.perf_counter()
     out = None
@@ -414,8 +456,9 @@ def main():
 
     if not args.skip_extras and args.stage == 3:
         try:
-            record["loader_images_per_sec_per_chip"] = round(
-                _train_throughput_with_loader(args.stage), 2)
+            loader_rate, loader_breakdown = _train_throughput_with_loader(args.stage)
+            record["loader_images_per_sec_per_chip"] = round(loader_rate, 2)
+            record.update(loader_breakdown)
         except Exception as exc:
             print("loader-included measurement failed: {}".format(exc), file=sys.stderr)
         try:

@@ -24,7 +24,7 @@ def _labelid_palette():
     return rng.integers(0, 256, size=(34, 3), dtype=np.uint8)
 
 
-def _synthesize_pair(rng, h, w):
+def _synthesize_pair(rng, h, w, noise=_NOISE):
     palette = _labelid_palette()
     tiles = rng.integers(0, 34, size=(max(h // _TILE, 1), max(w // _TILE, 1)),
                          dtype=np.uint8)
@@ -32,7 +32,7 @@ def _synthesize_pair(rng, h, w):
     if seg.shape != (h, w):  # images smaller than one tile
         seg = np.pad(seg, ((0, h - seg.shape[0]), (0, w - seg.shape[1])), mode='edge')
     img = palette[seg].astype(np.int16)
-    img += rng.integers(-_NOISE, _NOISE + 1, size=(h, w, 3), dtype=np.int16)
+    img += rng.integers(-noise, noise + 1, size=(h, w, 3), dtype=np.int16)
     img = np.clip(img, 0, 255).astype(np.uint8)
     seg = seg.copy()
     seg[:2, :2] = 0  # a few guaranteed void pixels (labelId 0 -> ignore)
@@ -40,8 +40,14 @@ def _synthesize_pair(rng, h, w):
 
 
 def make_synthetic_cityscapes_tree(root, split='train', num_images=4,
-                                   size_hw=(64, 128), seed=0):
-    """Write a miniature Cityscapes-layout tree of learnable PNG pairs."""
+                                   size_hw=(64, 128), seed=0, noise=_NOISE):
+    """Write a miniature Cityscapes-layout tree of learnable PNG pairs.
+
+    ``noise``: per-pixel uniform-noise amplitude.  The default suits the
+    learnability tests; throughput benchmarks pass ``noise=1`` so a full-res
+    1024x2048 frame PNG-compresses to ~2.2 MB — the size of a real
+    Cityscapes leftImg8bit frame — making decode cost representative
+    (amplitude ±10 is incompressible and inflates frames to ~4.1 MB)."""
     rng = np.random.default_rng(seed)
     h, w = size_hw
     img_dir = os.path.join(root, 'leftImg8bit', split, 'synthcity')
@@ -50,7 +56,7 @@ def make_synthetic_cityscapes_tree(root, split='train', num_images=4,
     os.makedirs(seg_dir, exist_ok=True)
     for i in range(num_images):
         base = 'synthcity_{:06d}_{:06d}'.format(i, i)
-        img, seg = _synthesize_pair(rng, h, w)
+        img, seg = _synthesize_pair(rng, h, w, noise=noise)
         Image.fromarray(img).save(os.path.join(img_dir, base + '_leftImg8bit.png'))
         Image.fromarray(seg).save(os.path.join(seg_dir, base + '_gtFine_labelIds.png'))
     return root
