@@ -9,6 +9,16 @@ torch Sequential indices (branches.{i}.{0,1}) so checkpoints map 1:1.
 
 On TPU the dilated 3x3 convs lower to MXU convolutions directly; the global
 branch's (1,1) conv is a matmul; XLA fuses BN+ReLU into each conv epilogue.
+
+SURVEY §7 kernel-candidate verdict (measured rejection): a dedicated Pallas
+atrous-conv kernel is NOT worth it.  The stage-3 v5e trace puts all of ASPP
+(fwd+bwd, six branches) at 4.15 ms/step = 7.5% of the 55.6 ms step, already
+running at ~80 TFLOP/s — the same per-op efficiency XLA achieves on the
+ResNet backbone's convs at these (16,16,32,C) shapes.  A hand kernel could
+at best shave fusion boundaries (<1 ms ceiling), far below what the same
+effort returns elsewhere (the fused ConvT+CE tail saved ~10 ms); the
+upstream dilation=1 path needs nothing.  Revisit only if the head's shapes
+change (e.g. OS8 training doubles ASPP's share).
 """
 
 import jax.numpy as jnp
