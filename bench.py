@@ -297,16 +297,20 @@ def _train_throughput_with_loader(stage, tree_images=96):
                          else 'threefry2x32')
     lr = jnp.float32(0.006)
 
-    def step(state, key, batch):
+    def stage(batch):
         imgs_u8, segs_u8, labs = batch
-        imgs_dev = jax.make_array_from_process_local_data(sharding, imgs_u8)
-        segs_dev = jax.make_array_from_process_local_data(sharding3, segs_u8)
-        labs_dev = jax.make_array_from_process_local_data(labs_sharding, labs)
+        return (jax.make_array_from_process_local_data(sharding, imgs_u8),
+                jax.make_array_from_process_local_data(sharding3, segs_u8),
+                jax.make_array_from_process_local_data(labs_sharding, labs))
+
+    def step(state, key, batch):
+        imgs_dev, segs_dev, labs_dev = batch
         key, k_step = jax.random.split(key)
         state, losses = train_step(state, imgs_dev, segs_dev, lr, k_step, labs_dev)
         return state, key, losses
 
-    stream = batches()
+    from dualsuperreslearningforsemseg_tpu.data import DevicePrefetcher
+    stream = iter(DevicePrefetcher(batches(), stage))
     warmup, measure = 6, 42
     t0 = time.time()
     for i in range(warmup):

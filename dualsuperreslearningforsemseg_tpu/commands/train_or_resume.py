@@ -38,7 +38,8 @@ from tqdm.auto import tqdm
 
 from .. import settings
 from ..checkpoint import load_checkpoint_or_weights, save_checkpoint, save_weights
-from ..data import Loader, make_train_augment_fn, make_eval_transform_fn, AugmentConfig
+from ..data import (Loader, DevicePrefetcher, make_train_augment_fn,
+                    make_eval_transform_fn, AugmentConfig)
 from ..metrics import mIoU, Accuracy, AverageMeter
 from ..models import DSRL, PolynomialLR, state_dict, load_state_dict, count_params
 from ..ops.colorize import make_input_output_visualization
@@ -470,19 +471,28 @@ def _train_epoch(state, train_step, loader, augment_fn, mesh, epoch, rng, lr,
             total=len(loader), desc='TRAINING', colour='green', position=0,
             leave=False, bar_format=settings.PROGRESSBAR_FORMAT)) as progressbar:
         labs_sharding = NamedSharding(mesh, P(None, 'data'))
-        for batch in loader:
-            imgs_u8, segs_u8 = batch[0], batch[1]
+
+        def stage_batch(batch):
+            # Runs on the DevicePrefetcher thread: the H2D copies overlap
+            # the previous step's device compute instead of serializing
+            # with dispatch here.
+            imgs_dev = jax.make_array_from_process_local_data(sharding, batch[0])
+            segs_dev = jax.make_array_from_process_local_data(sharding3, batch[1])
+            labs_dev = None
+            if augment_fn is None and len(batch) > 2:
+                labs_dev = jax.make_array_from_process_local_data(
+                    labs_sharding, batch[2])
+            return imgs_dev, segs_dev, labs_dev, batch[0].shape[0]
+
+        for imgs_dev, segs_dev, labs_dev, local_bs in DevicePrefetcher(
+                loader, stage_batch):
             rng, aug_rng, step_rng = jax.random.split(rng, 3)
-            imgs_dev = jax.make_array_from_process_local_data(sharding, imgs_u8)
-            segs_dev = jax.make_array_from_process_local_data(sharding3, segs_u8)
             if augment_fn is None:
                 # Host-warp path: the loader delivered warped uint8 (plus,
                 # when the native plane emitted it, the fused tail kernel's
                 # position-major label operand); the photometric tail is
                 # fused inside the train step.
-                if len(batch) > 2:
-                    labs_dev = jax.make_array_from_process_local_data(
-                        labs_sharding, batch[2])
+                if labs_dev is not None:
                     state, losses = train_step(state, imgs_dev, segs_dev,
                                                jnp.float32(lr), step_rng,
                                                labs_dev)
@@ -496,7 +506,7 @@ def _train_epoch(state, train_step, loader, augment_fn, mesh, epoch, rng, lr,
 
             if pending is not None:
                 _update_meters(pending, CE_avg, MSE_avg, FA_avg, Total_avg)
-            pending = (losses, imgs_u8.shape[0])
+            pending = (losses, local_bs)
 
             if master:
                 log = ["CE: {:.4f}".format(CE_avg() if CE_avg.count else 0.0)]
@@ -551,7 +561,8 @@ def _val_epoch(state, eval_step, loader, eval_fn, mesh, epoch, stage, master,
     with ConditionalContextManager(master, lambda: tqdm(
             total=len(loader), desc='VALIDATING', colour='yellow', position=1,
             leave=False, bar_format=settings.PROGRESSBAR_FORMAT)) as progressbar:
-        for i, (imgs_u8, segs_u8) in enumerate(loader):
+        def stage_val_batch(batch):
+            imgs_u8, segs_u8 = batch
             n = imgs_u8.shape[0]
             # Pad ragged final batches up to the shard count; the sample mask
             # removes padded rows from every loss/metric (steps.make_eval_step).
@@ -559,9 +570,12 @@ def _val_epoch(state, eval_step, loader, eval_fn, mesh, epoch, stage, master,
             # image/label batches so its length matches theirs under
             # multi-process runs (process-local length != global length).
             imgs_u8, segs_u8, mask = pad_batch_to_shards(imgs_u8, segs_u8, n_shards)
-            imgs_dev = jax.make_array_from_process_local_data(sharding, imgs_u8)
-            segs_dev = jax.make_array_from_process_local_data(sharding3, segs_u8)
-            mask_dev = jax.make_array_from_process_local_data(sharding1, mask)
+            return (jax.make_array_from_process_local_data(sharding, imgs_u8),
+                    jax.make_array_from_process_local_data(sharding3, segs_u8),
+                    jax.make_array_from_process_local_data(sharding1, mask), n)
+
+        for i, (imgs_dev, segs_dev, mask_dev, n) in enumerate(
+                DevicePrefetcher(loader, stage_val_batch)):
             (img_lo, img_hi), (seg_hi, _) = eval_fn(imgs_dev, segs_dev)
             losses, pred, hists, acc = eval_step(state.params, state.batch_stats,
                                                  img_lo, img_hi, seg_hi, mask_dev)

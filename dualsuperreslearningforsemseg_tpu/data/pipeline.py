@@ -49,6 +49,71 @@ class ShardedSampler:
         return order[self.rank::self.world_size]
 
 
+class DevicePrefetcher:
+    """Stage host batches onto the device ahead of consumption.
+
+    Wraps an iterable of host batches with a worker thread that applies
+    ``put_fn`` (the H2D staging function — typically a few
+    ``jax.make_array_from_process_local_data`` calls) ``depth`` batches
+    ahead of the consumer.  The transfers then overlap the device compute
+    of the *previous* step instead of serializing with step dispatch on
+    the consumer thread — the reference gets the same overlap from
+    DataLoader's pinned-memory + ``non_blocking`` copies
+    (/root/reference/command_handlers/train_or_resume.py:141-153).
+
+    Exceptions in ``put_fn`` (or the underlying iterator) are forwarded to
+    the consumer, and the consumer never blocks on a dead worker — the
+    same discipline as ``Loader``.
+    """
+
+    def __init__(self, host_iter, put_fn, depth=2):
+        self.host_iter = host_iter
+        self.put_fn = put_fn
+        self.depth = depth
+
+    def __iter__(self):
+        out_q = queue.Queue(maxsize=self.depth)
+        stop = threading.Event()
+
+        def worker():
+            it = iter(self.host_iter)
+            try:
+                for batch in it:
+                    if stop.is_set():
+                        return
+                    staged = self.put_fn(batch)
+                    if stop.is_set():
+                        return
+                    out_q.put(staged)
+            except BaseException as exc:  # noqa: BLE001 — forwarded, not hidden
+                if not stop.is_set():
+                    out_q.put(exc)
+                return
+            finally:
+                close = getattr(it, 'close', None)
+                if close is not None:
+                    close()
+            out_q.put(None)
+
+        thread = threading.Thread(target=worker, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            while thread.is_alive():
+                try:
+                    out_q.get_nowait()
+                except queue.Empty:
+                    thread.join(timeout=0.1)
+
+
 class Loader:
     """Iterable over batches of decoded samples.
 
