@@ -34,7 +34,7 @@ import flax.linen as nn
 
 from .resnet import ResNet101
 from .aspp import ASPP
-from .norm import TorchBatchNorm
+from .norm import TorchBatchNorm, FastDropout
 from .init import (kaiming_normal_fan_out_conv, kaiming_normal_fan_out_convtranspose,
                    torch_conv_bias_init)
 from ..ops.resize import resize_bilinear_matmul
@@ -144,18 +144,18 @@ class SSSRDecoder(nn.Module):
         y = _conv(256, 3, padding=1, name='cat_conv.0', dtype=self.dtype)(x)
         y = TorchBatchNorm(256, dtype=self.dtype, name='cat_conv.1')(y, use_ra)
         y = nn.relu(y)
-        y = nn.Dropout(0.2, deterministic=det, name='cat_conv.3')(y)
+        y = FastDropout(0.2, name='cat_conv.3')(y, det)
         y = _conv(256, 3, padding=1, name='cat_conv.4', dtype=self.dtype)(y)
         y = TorchBatchNorm(256, dtype=self.dtype, name='cat_conv.5')(y, use_ra)
         y = nn.relu(y)
-        y = nn.Dropout(0.2, deterministic=det, name='cat_conv.7')(y)
+        y = FastDropout(0.2, name='cat_conv.7')(y, det)
 
         y = _conv(self.num_classes, 1, use_bias=True, in_channels=256, name='cls_conv',
                   dtype=self.dtype)(y)
 
         h, w = y.shape[1:3]
         y = resize_bilinear_matmul(y, (2 * h, 2 * w))
-        y = nn.Dropout(0.2, deterministic=det, name='upsample16_pred.1')(y)
+        y = FastDropout(0.2, name='upsample16_pred.1')(y, det)
         # grouped=True keeps the x4 upsample in space-to-depth layout
         # (B, H, W, 16, C) — identical math (BN stats pool over the same
         # elements), no full-res interleave copies; callers ungroup only
@@ -164,7 +164,7 @@ class SSSRDecoder(nn.Module):
                              name='upsample16_pred.2')(y, grouped=grouped)
         y = TorchBatchNorm(self.num_classes, dtype=self.dtype, name='upsample16_pred.3')(y, use_ra)
         y = nn.relu(y)
-        y = nn.Dropout(0.2, deterministic=det, name='upsample16_pred.5')(y)
+        y = FastDropout(0.2, name='upsample16_pred.5')(y, det)
         convt_final = ConvTranspose2x2(self.num_classes, self.num_classes, use_bias=True,
                                        name='upsample16_pred.6')
         if pre_tail:

@@ -11,8 +11,9 @@ that all affect parity with the reference:
   torch state-dict layout directly, so checkpoint import/export needs no
   per-layer special cases.
 
-Statistics and normalization run in f32 regardless of the (possibly bf16)
-activation dtype; XLA fuses the casts.  ``use_running_average=True`` during
+Statistics accumulate in f32 regardless of the (possibly bf16) activation
+dtype; normalization runs in the activation dtype (see the in-body note on
+why the f32 activation must never materialize).  ``use_running_average=True`` during
 training implements the reference's ``--freeze-batch-norm`` mode
 (/root/reference/command_handlers/train_or_resume.py:379-382) — frozen layers
 neither use batch statistics nor update the running ones.
@@ -49,8 +50,19 @@ class TorchBatchNorm(nn.Module):
         nbt = self.variable('batch_stats', 'num_batches_tracked',
                             lambda: jnp.zeros((), jnp.int32))
 
-        xf = x.astype(jnp.float32)
         reduce_axes = tuple(range(x.ndim - 1))
+
+        # Stats accumulate in f32 but the f32 activation is never
+        # materialized: each moment reduction fuses its own upcast
+        # (convert_reduce_fusion), and the normalization below runs in the
+        # activation dtype.  Upcasting once and sharing (`xf = x.astype`)
+        # makes XLA materialize + relayout the full f32 tensor when the
+        # activation is bf16 — ~1 ms/step at the decoder-tail shapes on v5e.
+        def _moments(v):
+            mean = jnp.mean(v, axis=reduce_axes, dtype=jnp.float32)
+            mean_sq = jnp.mean(jnp.square(v.astype(jnp.float32)),
+                               axis=reduce_axes)
+            return mean, mean_sq
 
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
@@ -63,8 +75,9 @@ class TorchBatchNorm(nn.Module):
                 # the first two moments over the named axis, then
                 # var = E[x²] − mean² — identical to single-device BN over
                 # the concatenated batch.
-                mean = jax.lax.pmean(xf.mean(axis=reduce_axes), self.axis_name)
-                mean_sq = jax.lax.pmean((xf * xf).mean(axis=reduce_axes), self.axis_name)
+                mean, mean_sq = _moments(x)
+                mean = jax.lax.pmean(mean, self.axis_name)
+                mean_sq = jax.lax.pmean(mean_sq, self.axis_name)
                 var = jnp.maximum(mean_sq - mean * mean, 0.0)
                 n *= jax.lax.psum(1, self.axis_name)
             else:
@@ -74,8 +87,7 @@ class TorchBatchNorm(nn.Module):
                 # BN input per step — ~100 BN layers make that a measurable
                 # HBM tax.  In f32 the reassociation error is ~1e-7 relative
                 # for unit-scale activations (parity tests bound it).
-                mean = xf.mean(axis=reduce_axes)
-                mean_sq = (xf * xf).mean(axis=reduce_axes)
+                mean, mean_sq = _moments(x)
                 var = jnp.maximum(mean_sq - mean * mean, 0.0)
             if not self.is_initializing():
                 m = self.momentum
@@ -84,6 +96,35 @@ class TorchBatchNorm(nn.Module):
                 ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
                 nbt.value = nbt.value + 1
 
+        # Normalize in the activation dtype: the per-channel constants round
+        # once to bf16 (<= 1 ulp on the output, which is emitted in
+        # self.dtype either way), and f32 activations take the exact same
+        # ops as before (the casts are no-ops).
         inv = jax.lax.rsqrt(var + self.epsilon)
-        y = (xf - mean) * (inv * weight) + bias
+        y = ((x - mean.astype(x.dtype)) * (inv * weight).astype(x.dtype)
+             + bias.astype(x.dtype))
         return y.astype(self.dtype)
+
+
+class FastDropout(nn.Module):
+    """Inverted dropout (torch ``nn.Dropout`` semantics) with an
+    integer-threshold mask.
+
+    ``flax.linen.Dropout`` draws a full uniform-f32 field — 32 random bits
+    per element, which XLA materializes and relays as a u32 tensor (~0.4
+    ms/step at the decoder-tail shapes on v5e).  Comparing raw u16 bits
+    against ``round(rate * 2^16)`` halves the generated bits and keeps the
+    compare in integers; the effective drop probability differs from
+    ``rate`` by at most 2^-17.  Keeps torch's exact 1/(1-rate) scaling.
+    """
+    rate: float
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
+        if deterministic or self.rate == 0.0:
+            return x
+        thresh = int(round(self.rate * 65536.0))
+        bits = jax.random.bits(self.make_rng('dropout'), x.shape, jnp.uint16)
+        scale = jnp.asarray(1.0 / (1.0 - self.rate), x.dtype)
+        return jnp.where(bits >= jnp.uint16(thresh), x * scale,
+                         jnp.zeros((), x.dtype))
