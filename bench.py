@@ -119,13 +119,13 @@ def _train_throughput(stage):
     imgs_dev = jax.device_put(imgs, batch_sharding(mesh, 4))
     segs_dev = jax.device_put(segs, batch_sharding(mesh, 3))
     # Production path: the host data plane delivers the fused tail kernel's
-    # position-major label operand alongside the batch (overlapped with
+    # g16-major label operand alongside the batch (overlapped with
     # device compute in the real pipeline).
     labs_dev = None
     try:
         from jax.sharding import NamedSharding, PartitionSpec as P
-        from dualsuperreslearningforsemseg_tpu.data.native import labels_positions_t
-        labs_dev = jax.device_put(labels_positions_t(segs),
+        from dualsuperreslearningforsemseg_tpu.data.native import labels_g16_t
+        labs_dev = jax.device_put(labels_g16_t(segs),
                                   NamedSharding(mesh, P(None, 'data')))
     except Exception as exc:
         print("host label plane unavailable ({}); using device fallback".format(exc),

@@ -211,7 +211,7 @@ def train_or_resume(is_resuming_training, device, distributed, mixed_precision,
         # check guarantees the symbol; the hasattr gate keeps a future
         # feature-skew from killing the decode threads mid-train.
         emit_positions = (not dry_run
-                          and hasattr(get_lib(), 'dp_labels_positions_t'))
+                          and hasattr(get_lib(), 'dp_labels_g16_t'))
         host_transform = make_host_warp_transform(aug_cfg, ds_settings.LABEL_MAPPING_LUT,
                                                   settings.RANDOM_SEED,
                                                   emit_position_labels=emit_positions)

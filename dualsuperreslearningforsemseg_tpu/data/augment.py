@@ -303,10 +303,10 @@ def make_host_warp_transform(cfg: AugmentConfig, label_lut: np.ndarray, seed: in
     compute through the loader's prefetch.
 
     ``emit_position_labels``: also return the fused tail kernel's
-    position-major label operand as a third element (native
-    dp_labels_positions_t, ~3 ms — the identical permutation costs ~7 ms of
-    DEVICE time per step when XLA builds it next to the pallas consumer)."""
-    from .native import warp_pair_batch, labels_positions_t
+    g16-major label operand as a third element (native dp_labels_g16_t,
+    ~3 ms — the identical permutation costs ~7 ms of DEVICE time per step
+    when XLA builds it next to the pallas consumer)."""
+    from .native import warp_pair_batch, labels_g16_t
 
     def transform(epoch, batch_index, imgs_u8, segs_u8):
         r = np.random.default_rng(np.random.SeedSequence([seed, epoch, batch_index]))
@@ -316,7 +316,7 @@ def make_host_warp_transform(cfg: AugmentConfig, label_lut: np.ndarray, seed: in
                                          lut=label_lut)
         if not emit_position_labels:
             return imgs_w, segs_w
-        return imgs_w, segs_w, labels_positions_t(segs_w)
+        return imgs_w, segs_w, labels_g16_t(segs_w)
 
     return transform
 

@@ -26,9 +26,9 @@ _warned = False
 # rebuilds) any .so reporting an older version, so a stale library left in the
 # tree can never advertise features it lacks — callers that see
 # native_available() may rely on every symbol below existing.
-_EXPECTED_VERSION = 3
+_EXPECTED_VERSION = 4
 _REQUIRED_SYMBOLS = ('dp_version', 'dp_decode_png', 'dp_decode_pair_batch',
-                     'dp_warp_pair_batch', 'dp_labels_positions_t')
+                     'dp_warp_pair_batch', 'dp_labels_g16_t')
 
 
 def _try_build():
@@ -81,8 +81,8 @@ def _load_and_check():
         ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_char_p, ctypes.c_int]
-    lib.dp_labels_positions_t.restype = ctypes.c_int
-    lib.dp_labels_positions_t.argtypes = [
+    lib.dp_labels_g16_t.restype = ctypes.c_int
+    lib.dp_labels_g16_t.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
     return lib
@@ -186,24 +186,24 @@ def warp_pair_batch(imgs, segs, matrices, out_hw, lut=None, threads=None):
     return imgs_out, segs_out
 
 
-def labels_positions_t(segs, threads=None):
+def labels_g16_t(segs, threads=None):
     """Re-layout warped label maps into the fused tail kernel's operand.
 
     Args:
       segs: (n, OH, OW) u8 warped+LUT'd labels (OH, OW multiples of 4).
-    Returns (4, n*(OH/4)*(OW/4)*4) u8 — row p = final-ConvT 2x2 position,
-    columns in nested grouped pixel order (matches
-    ops/conv.py::group_labels_positions_t; done here because the same
+    Returns (16, n*(OH/4)*(OW/4)) u8 — row g16 = nested group index,
+    columns in plain (b, y, x) pixel order (matches
+    ops/conv.py::group_labels_g16_t; done here because the same
     permutation inside the XLA train program costs ~7 ms/step of device
     time, while this host pass overlaps with device compute).
     """
     lib = get_lib()
-    assert lib is not None and hasattr(lib, 'dp_labels_positions_t'), \
+    assert lib is not None and hasattr(lib, 'dp_labels_g16_t'), \
         "native label layout not available"
     segs = np.ascontiguousarray(segs, dtype=np.uint8)
     n, oh, ow = segs.shape
-    out = np.empty((4, n * (oh // 4) * (ow // 4) * 4), dtype=np.uint8)
-    err = lib.dp_labels_positions_t(
+    out = np.empty((16, n * (oh // 4) * (ow // 4)), dtype=np.uint8)
+    err = lib.dp_labels_g16_t(
         segs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         n, oh, ow,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),

@@ -41,7 +41,8 @@ from ..ops.resize import resize_bilinear_matmul
 from ..ops.conv import (conv_transpose_2x2_stride2,
                         conv_transpose_2x2_stride2_grouped,
                         conv_transpose_2x2_stride2_corner,
-                        pixel_shuffle)
+                        conv_transpose_2x2_stride2_cols,
+                        pixel_shuffle, TAIL_COL_BLOCK)
 from ..consts import NUM_RGB_CHANNELS
 
 
@@ -72,7 +73,8 @@ class ConvTranspose2x2(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x, grouped: bool = False, corner: bool = False):
+    def __call__(self, x, grouped: bool = False, corner: bool = False,
+                 cols: bool = False):
         w = self.param('weight', kaiming_normal_fan_out_convtranspose,
                        (self.in_channels, self.out_channels, 2, 2), jnp.float32)
         b = None
@@ -82,6 +84,11 @@ class ConvTranspose2x2(nn.Module):
                            (self.out_channels,), jnp.float32)
         w = w.astype(x.dtype)
         b = None if b is None else b.astype(x.dtype)
+        if cols:
+            # Channel-padded-columns output (B, H, W, 4*32) for the fused
+            # Pallas tail carry (ops/conv.py) — bias-free by construction.
+            assert not self.use_bias, "cols layout is for the bias-free ConvT"
+            return conv_transpose_2x2_stride2_cols(x, w)
         if corner:
             # Even-even output plane only (ops/conv.py): shares this module's
             # parameters with the full evaluation.
@@ -118,12 +125,16 @@ def _even_hw_select(y):
     TPU gather traced at 1.0 ms/step (2 GB/s effective); the selection
     matmuls run on the MXU in ~0.06 ms and their VJP is the transposed
     matmul instead of a pad-scatter (CLAUDE.md perf rule 1).  Exact: each
-    output element is a single 1.0 * x product."""
+    output element is a single 1.0 * x product.  Accepts the 5-D grouped
+    (B, H, W, 4, C) or the 4-D cols (B, H, W, 4*blk) orientation."""
     h, w = y.shape[1], y.shape[2]
     sel_h = (jnp.arange(h // 2)[:, None] * 2 ==
              jnp.arange(h)[None, :]).astype(y.dtype)
     sel_w = (jnp.arange(w // 2)[:, None] * 2 ==
              jnp.arange(w)[None, :]).astype(y.dtype)
+    if y.ndim == 4:
+        y = jnp.einsum('mh,bhwc->bmwc', sel_h, y)
+        return jnp.einsum('nw,bmwc->bmnc', sel_w, y)
     y = jnp.einsum('mh,bhwgc->bmwgc', sel_h, y)
     return jnp.einsum('nw,bmwgc->bmngc', sel_w, y)
 
@@ -156,27 +167,50 @@ class SSSRDecoder(nn.Module):
         h, w = y.shape[1:3]
         y = resize_bilinear_matmul(y, (2 * h, 2 * w))
         y = FastDropout(0.2, name='upsample16_pred.1')(y, det)
-        # grouped=True keeps the x4 upsample in space-to-depth layout
-        # (B, H, W, 16, C) — identical math (BN stats pool over the same
-        # elements), no full-res interleave copies; callers ungroup only
-        # when a plain tensor is needed (eval/inference).
-        y = ConvTranspose2x2(self.num_classes, self.num_classes, use_bias=False,
-                             name='upsample16_pred.2')(y, grouped=grouped)
-        y = TorchBatchNorm(self.num_classes, dtype=self.dtype, name='upsample16_pred.3')(y, use_ra)
-        y = nn.relu(y)
-        y = FastDropout(0.2, name='upsample16_pred.5')(y, det)
+        convt2 = ConvTranspose2x2(self.num_classes, self.num_classes,
+                                  use_bias=False, name='upsample16_pred.2')
+        bn3 = TorchBatchNorm(self.num_classes, dtype=self.dtype,
+                             name='upsample16_pred.3')
         convt_final = ConvTranspose2x2(self.num_classes, self.num_classes, use_bias=True,
                                        name='upsample16_pred.6')
         if pre_tail:
-            # Fused-tail training mode: return the post-dropout PRE-ConvT
-            # activation; the train step runs the final ConvT fused with the
-            # CE loss (ops/pallas/fused_tail.py) using this module's
-            # 'upsample16_pred.6' parameters, so the full-size logits tensor
-            # never materializes.  Only meaningful in grouped training.
+            # Fused-tail training mode: carry the tail in CHANNEL-PADDED
+            # COLUMNS — (B, H, W, 4*32), column g*32+c is channel c of
+            # first-ConvT position g (ops/conv.py::
+            # conv_transpose_2x2_stride2_cols).  Identical math (the BN
+            # stats pool over the same elements, per-channel across the
+            # position blocks), but the trailing dim is exactly one TPU
+            # lane tile, so BN/relu/dropout and the fused Pallas kernel all
+            # consume the operand at its physical size — the natural
+            # (..., 4, 19) orientation costs ~2.7 ms/step of boundary
+            # re-layout copies at the kernel (see ops/pallas/fused_tail.py).
+            # Return the post-dropout PRE-ConvT activation; the train step
+            # runs the final ConvT fused with the CE loss using this
+            # module's 'upsample16_pred.6' parameters, so the full-size
+            # logits tensor never materializes.
             assert grouped, "pre_tail is a grouped-layout training mode"
+            y = convt2(y, cols=True)
+            y = bn3(y, use_ra, cols_blocks=4)
+            y = nn.relu(y)
+            y = FastDropout(0.2, name='upsample16_pred.5')(y, det)
             out = y
+            # Group 0's real channels are columns 0:num_classes.
+            corner_src = _even_hw_select(y)[..., :self.num_classes]
         else:
+            # grouped=True keeps the x4 upsample in space-to-depth layout
+            # (B, H, W, 16, C) — identical math, no full-res interleave
+            # copies; callers ungroup only when a plain tensor is needed
+            # (eval/inference).
+            y = convt2(y, grouped=grouped)
+            y = bn3(y, use_ra)
+            y = nn.relu(y)
+            # pad_lanes: draw the mask in the cols layout's padded bit
+            # stream so this path stays in dropout-lockstep with pre_tail
+            # (tests/test_pallas_tail.py compares the two step-for-step).
+            y = FastDropout(0.2, name='upsample16_pred.5')(
+                y, det, pad_lanes=TAIL_COL_BLOCK if grouped else 0)
             out = convt_final(y, grouped=grouped)
+            corner_src = _even_hw_select(y)[..., 0, :] if grouped else None
         if not return_fa_corner:
             return out
         # Stride-8 sampling of the full-res logits for the FA transformer,
@@ -186,7 +220,7 @@ class SSSRDecoder(nn.Module):
         # values as slicing `out` — but AD pads an (B,H,W,4,C) gradient here
         # instead of the (B,H,W,16,C) logits (~8 ms/step cheaper on v5e).
         assert grouped, "FA corner feed is a grouped-layout optimization"
-        fa_corner = convt_final(_even_hw_select(y)[..., 0, :], corner=True)
+        fa_corner = convt_final(corner_src, corner=True)
         return out, fa_corner
 
 

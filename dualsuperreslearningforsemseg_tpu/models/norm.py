@@ -39,7 +39,17 @@ class TorchBatchNorm(nn.Module):
     weight_init: nn.initializers.Initializer = nn.initializers.ones
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, use_running_average: bool) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, use_running_average: bool,
+                 cols_blocks: int = 0) -> jnp.ndarray:
+        """``cols_blocks=G`` normalizes a channel-padded-columns tensor:
+        the trailing axis holds G blocks of ``blk = x.shape[-1] // G``
+        columns, of which the first ``features`` per block are real channels
+        (the rest are zero padding).  Each block is an independent pixel set
+        of the SAME ``features`` channels (the fused-tail carry — see
+        ops/conv.py::conv_transpose_2x2_stride2_cols), so the per-channel
+        statistics pool over the block axis too, exactly like the natural
+        (..., features) orientation pooling over its group axis.  Parameter
+        and running-stat trees are identical in both orientations."""
         f = self.features
         weight = self.param('weight', self.weight_init, (f,), jnp.float32)
         bias = self.param('bias', nn.initializers.zeros, (f,), jnp.float32)
@@ -51,6 +61,26 @@ class TorchBatchNorm(nn.Module):
                             lambda: jnp.zeros((), jnp.int32))
 
         reduce_axes = tuple(range(x.ndim - 1))
+        if cols_blocks:
+            blk = x.shape[-1] // cols_blocks
+            assert blk * cols_blocks == x.shape[-1] and blk >= f, \
+                "cols layout: trailing dim {} must be {} blocks of >= {}".format(
+                    x.shape[-1], cols_blocks, f)
+
+        def _fold(vec):
+            """Per-column (G*blk,) moments -> per-channel (f,) — blocks hold
+            equal element counts, so the channel moment is the block mean."""
+            if not cols_blocks:
+                return vec
+            return jnp.mean(vec.reshape(cols_blocks, blk)[:, :f], axis=0)
+
+        def _tile(vec, pad=0.0):
+            """Per-channel (f,) constants -> per-column (G*blk,)."""
+            if not cols_blocks:
+                return vec
+            padded = jnp.pad(vec.reshape(1, f), ((0, 0), (0, blk - f)),
+                             constant_values=pad)
+            return jnp.broadcast_to(padded, (cols_blocks, blk)).reshape(-1)
 
         # Stats accumulate in f32 but the f32 activation is never
         # materialized: each moment reduction fuses its own upcast
@@ -67,7 +97,7 @@ class TorchBatchNorm(nn.Module):
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
-            n = 1
+            n = cols_blocks or 1
             for ax in reduce_axes:
                 n *= x.shape[ax]
             if self.axis_name is not None:
@@ -76,6 +106,7 @@ class TorchBatchNorm(nn.Module):
                 # var = E[x²] − mean² — identical to single-device BN over
                 # the concatenated batch.
                 mean, mean_sq = _moments(x)
+                mean, mean_sq = _fold(mean), _fold(mean_sq)
                 mean = jax.lax.pmean(mean, self.axis_name)
                 mean_sq = jax.lax.pmean(mean_sq, self.axis_name)
                 var = jnp.maximum(mean_sq - mean * mean, 0.0)
@@ -88,6 +119,7 @@ class TorchBatchNorm(nn.Module):
                 # HBM tax.  In f32 the reassociation error is ~1e-7 relative
                 # for unit-scale activations (parity tests bound it).
                 mean, mean_sq = _moments(x)
+                mean, mean_sq = _fold(mean), _fold(mean_sq)
                 var = jnp.maximum(mean_sq - mean * mean, 0.0)
             if not self.is_initializing():
                 m = self.momentum
@@ -101,8 +133,13 @@ class TorchBatchNorm(nn.Module):
         # self.dtype either way), and f32 activations take the exact same
         # ops as before (the casts are no-ops).
         inv = jax.lax.rsqrt(var + self.epsilon)
-        y = ((x - mean.astype(x.dtype)) * (inv * weight).astype(x.dtype)
-             + bias.astype(x.dtype))
+        # In cols mode the constants tile over the blocks; padded columns get
+        # scale 0 / bias 0, so whatever they carry normalizes to exactly 0.
+        sub = _tile(mean)
+        scale = _tile(inv * weight)
+        shift = _tile(bias)
+        y = ((x - sub.astype(x.dtype)) * scale.astype(x.dtype)
+             + shift.astype(x.dtype))
         return y.astype(self.dtype)
 
 
@@ -120,11 +157,26 @@ class FastDropout(nn.Module):
     rate: float
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, deterministic: bool,
+                 pad_lanes: int = 0) -> jnp.ndarray:
+        """``pad_lanes=blk``: draw the random field as if the trailing axis
+        were padded to ``blk`` lanes and slice off the pad.  This makes the
+        mask of a natural (..., C) tensor agree element-for-element with the
+        mask its channel-padded-columns twin draws (a (..., G, C) tensor and
+        its (..., G*blk) cols layout consume the same flat bit stream —
+        jax.random.bits is shape-agnostic up to reshape), so the fused-tail
+        carry and the XLA reference path realize the SAME dropout.  Only the
+        reference path pays the slice; the cols path draws at its physical
+        shape."""
         if deterministic or self.rate == 0.0:
             return x
         thresh = int(round(self.rate * 65536.0))
-        bits = jax.random.bits(self.make_rng('dropout'), x.shape, jnp.uint16)
+        if pad_lanes:
+            shape = x.shape[:-1] + (pad_lanes,)
+            bits = jax.random.bits(self.make_rng('dropout'), shape, jnp.uint16)
+            bits = bits[..., :x.shape[-1]]
+        else:
+            bits = jax.random.bits(self.make_rng('dropout'), x.shape, jnp.uint16)
         scale = jnp.asarray(1.0 / (1.0 - self.rate), x.dtype)
         return jnp.where(bits >= jnp.uint16(thresh), x * scale,
                          jnp.zeros((), x.dtype))

@@ -83,6 +83,34 @@ def conv_transpose_2x2_stride2_grouped(x: jnp.ndarray, weight: jnp.ndarray,
     return y
 
 
+TAIL_COL_BLOCK = 32   # columns per position block in the cols layout
+
+
+def conv_transpose_2x2_stride2_cols(x: jnp.ndarray, weight: jnp.ndarray,
+                                    blk: int = TAIL_COL_BLOCK) -> jnp.ndarray:
+    """ConvTranspose2d(k=2,s=2) emitting CHANNEL-PADDED COLUMNS:
+    (B, H, W, 4*blk), where column ``g*blk + co`` holds output channel ``co``
+    of 2x2 position ``g = kh*2 + kw`` and columns ``co >= Cout`` are zero.
+
+    Same values as :func:`conv_transpose_2x2_stride2_grouped` with the
+    (G, Cout) axes fused and each position padded to a ``blk``-column slot —
+    but as a LAYOUT the padded trailing dim is a multiple of the TPU's
+    128-lane tile, so every downstream elementwise op (BN/relu/dropout) and
+    the fused Pallas tail consume it at its physical size.  The natural
+    (..., G, 19) orientation pads 19 lanes to 128 in the default layout the
+    Pallas operand forces — 6.7x the logical bytes, measured as ~2.7 ms/step
+    of pure re-layout copies at (16,128,256,4,19) bf16 on v5e.  The zero
+    padding is FREE at the producer: it lives in the weight matrix, not in a
+    pad op.  Padded-column gradients are structurally zero, so AD maps dY
+    back through the same (Cin, 4*blk) matrix exactly."""
+    cin, cout = weight.shape[0], weight.shape[1]
+    assert cout <= blk, "cols layout needs Cout <= block width"
+    wt = jnp.transpose(weight, (0, 2, 3, 1)).reshape(cin, 4, cout)
+    wcols = jnp.pad(wt, ((0, 0), (0, 0), (0, blk - cout))).reshape(cin, 4 * blk)
+    return jnp.einsum('bhwi,io->bhwo', x, wcols.astype(x.dtype),
+                      preferred_element_type=jnp.float32).astype(x.dtype)
+
+
 def conv_transpose_2x2_stride2_corner(x: jnp.ndarray, weight: jnp.ndarray,
                                       bias: jnp.ndarray | None = None) -> jnp.ndarray:
     """Only the (k=0, l=0) output position of ``ConvTranspose2d(k=2, s=2)``:
@@ -138,24 +166,23 @@ def group_labels(seg: jnp.ndarray, factor: int) -> jnp.ndarray:
     raise ValueError("unsupported grouping factor {}".format(factor))
 
 
-def group_labels_positions_t(seg: jnp.ndarray) -> jnp.ndarray:
-    """(B, 4H, 4W) labels -> (4, B*H*W*4) int32 for the fused tail kernel.
-
-    Row p = final-ConvT 2x2 output position (kh*2 + kw); column order is the
-    nested grouped pixel order (b, h, w, g1) matching
-    ``conv_transpose_2x2_stride2_grouped``'s input rows, so column m, row p
-    holds the label of full-res pixel (4h + 2*(g1//2) + kh, 4w + 2*(g1%2) + kw).
+def group_labels_g16_t(seg: jnp.ndarray) -> jnp.ndarray:
+    """(B, 4H, 4W) labels -> (16, B*H*W) uint8 for the cols-layout fused
+    tail kernel: row ``g*4 + p`` (g = first-ConvT nested group, p = final
+    2x2 position — i.e. the full nested g16 index) of column (b, h, w) holds
+    the label of full-res pixel (4h + 2*(g//2) + p//2, 4w + 2*(g%2) + p%2).
     uint8 so the kernel operand is 8.4 MB.  PERF: call this in its own
     little jit (or eagerly), NOT inside the train step — standalone it runs
     at memory speed (~0.05 ms), but embedded next to the pallas consumer
     XLA's layout assignment stages it through pathological relayouts
     (~7-8 ms/step measured on v5e, for every formulation tried: u8 or int32
-    monolithic 7-D transpose, strided-slice + concat)."""
+    monolithic 7-D transpose, strided-slice + concat).  Production path:
+    the C++ data plane's identical dp_labels_g16_t on host threads."""
     b, fh, fw = seg.shape
     h, w = fh // 4, fw // 4
-    s = seg.astype(jnp.uint8).reshape(b, h, 2, 2, w, 2, 2)  # (b,h,k1,kh,w,l1,kw)
-    s = jnp.transpose(s, (3, 6, 0, 1, 4, 2, 5))             # (kh,kw,b,h,w,k1,l1)
-    return s.reshape(4, b * h * w * 4)
+    s = seg.astype(jnp.uint8).reshape(b, h, 2, 2, w, 2, 2)  # (b,h,i,k,w,j,l)
+    s = jnp.transpose(s, (2, 5, 3, 6, 0, 1, 4))             # (i,j,k,l,b,h,w)
+    return s.reshape(16, b * h * w)
 
 
 def pixel_unshuffle(x: jnp.ndarray, downscale_factor: int) -> jnp.ndarray:

@@ -61,18 +61,18 @@ def make_train_step(model, stage: int, w1: float, w2: float, momentum: float,
         Pallas CE kernels that consumed pre-made logits LOST to XLA (125 /
         171 vs 195 img/s — operand relayout); owning the producing matmul
         is what makes this one pay."""
-        from ..ops.pallas.fused_tail import convt_corners_ce_sum, pack_tail_params
+        from ..ops.pallas.fused_tail import convt_cols_ce_sum, pack_tail_params_cols
         tail = params['SSSR_decoder']['upsample16_pred.6']
-        b, h, w, g, c = y1.shape
-        wp, bp = pack_tail_params(tail['weight'], tail['bias'])
-        x = y1.reshape(b * h * w * g, c)
+        b, h, w, c = y1.shape     # cols carry: (B, H, W, 4*32)
+        wp, bp = pack_tail_params_cols(tail['weight'], tail['bias'])
+        x = y1.reshape(b * h * w, c)
         interpret = jax.default_backend() != 'tpu'
 
         multi_dev = mesh is not None and mesh.devices.size > 1
 
         def per_shard(x, wp, bp, labs_t):
-            s, n = convt_corners_ce_sum(x, wp, bp, labs_t, ignore_label,
-                                        interpret)
+            s, n = convt_cols_ce_sum(x, wp, bp, labs_t, ignore_label,
+                                     interpret)
             if multi_dev:
                 s = jax.lax.psum(s, 'data')
                 n = jax.lax.psum(n, 'data')
@@ -119,8 +119,8 @@ def make_train_step(model, stage: int, w1: float, w2: float, momentum: float,
             from ..ops.conv import group_labels, pixel_unshuffle
             if not use_fused_tail:
                 # The fused tail reads labels straight from the full-res map
-                # (group_labels_positions_t); only the XLA CE needs them in
-                # the grouped-logits layout.
+                # (group_labels_g16_t); only the XLA CE needs them in the
+                # grouped-logits layout.
                 seg = group_labels(seg, 4)
             if stage > 1:
                 # SISR stays pre-shuffle; unshuffle the TARGET instead (MSE
@@ -134,8 +134,8 @@ def make_train_step(model, stage: int, w1: float, w2: float, momentum: float,
                 img_hi = pixel_unshuffle(img_hi, 8)
         if use_fused_tail:
             if labs_t is None:
-                from ..ops.conv import group_labels_positions_t
-                labs_t = group_labels_positions_t(seg_full)
+                from ..ops.conv import group_labels_g16_t
+                labs_t = group_labels_g16_t(seg_full)
             ce = _fused_ce(params, sssr, labs_t)
         else:
             ce = cross_entropy_loss(sssr, seg, ignore_label)
@@ -164,17 +164,17 @@ def make_train_step(model, stage: int, w1: float, w2: float, momentum: float,
         (img_lo, img_hi), (seg_hi, _) = post_fn(imgs_u8, segs_u8, rng_post)
         if use_fused_tail and labs_t is None:
             # Device fallback when the host data plane didn't deliver the
-            # position-major labels (native/dataplane.cpp::
-            # dp_labels_positions_t — ~3 ms on host threads, overlapped).
-            # Built straight from the pristine row-major uint8 input (not
-            # post's int32 seg_hi, whose layout XLA tunes for other
-            # consumers).  NB: XLA prices this permutation at ~7 ms/step
-            # next to the pallas consumer; a separate jit dispatch, int32
-            # operands, and a strided-slice formulation all measured SLOWER
-            # (194-175 img/s vs 206) — hence the host path.
-            from ..ops.conv import group_labels_positions_t
+            # g16-major labels (native/dataplane.cpp::dp_labels_g16_t —
+            # ~3 ms on host threads, overlapped).  Built straight from the
+            # pristine row-major uint8 input (not post's int32 seg_hi,
+            # whose layout XLA tunes for other consumers).  NB: XLA prices
+            # this permutation at ~7 ms/step next to the pallas consumer; a
+            # separate jit dispatch, int32 operands, and a strided-slice
+            # formulation all measured SLOWER (194-175 img/s vs 206) —
+            # hence the host path.
+            from ..ops.conv import group_labels_g16_t
             labs_t = jax.lax.optimization_barrier(
-                group_labels_positions_t(segs_u8))
+                group_labels_g16_t(segs_u8))
         return train_core(state, img_lo, img_hi, seg_hi, lr, rng_step, labs_t)
 
     return jax.jit(fused_step, donate_argnums=(0,))

@@ -13,6 +13,9 @@
 //   dp_decode_png(path, out, cap, &h, &w, &c) -> 0/err
 //   dp_decode_pair_batch(img_paths, seg_paths, n, imgs_out, segs_out,
 //                        h, w, lut_or_null, threads) -> 0/err
+//   dp_warp_pair_batch(...) -> 0/err      (affine warp, see below)
+//   dp_labels_g16_t(segs, n, oh, ow, out, threads) -> 0/err
+//                                         (fused-tail label layout)
 
 #include <libdeflate.h>
 #include <png.h>
@@ -348,8 +351,9 @@ extern "C" {
 // ABI version of this library.  Bump whenever an export is added/changed so
 // data/native.py can detect a stale .so left over from an older build and
 // rebuild instead of loading it (v2: dp_warp_pair_batch, dp_labels_positions_t;
-// v3: libdeflate fast-path decode).
-int dp_version() { return 3; }
+// v3: libdeflate fast-path decode; v4: dp_labels_g16_t replaces
+// dp_labels_positions_t — the fused tail's cols-layout label operand).
+int dp_version() { return 4; }
 
 int dp_decode_png(const char* path, uint8_t* out, int64_t out_cap, int* h,
                   int* w, int* c, int force_channels) {
@@ -481,21 +485,23 @@ int dp_warp_pair_batch(const uint8_t* imgs_in, const uint8_t* segs_in, int n,
 }
 
 // Re-layout n warped label maps (n, oh, ow) into the fused tail kernel's
-// position-major operand (dualsuperreslearningforsemseg_tpu/ops/pallas/
-// fused_tail.py): out[p][(b, hh, ww, g)] = segs[b][4*hh + 2*(g/2) + p/2]
-//                                                  [4*ww + 2*(g%2) + p%2],
-// p = final-ConvT 2x2 output position, g = nested ConvT1 group.  A pure
-// memory shuffle here (~3 ms over the decode thread pool, fully overlapped
-// with device compute); the same permutation inside the XLA train program
-// costs ~7 ms/step of device time at (16,512,1024) on v5e because layout
+// g16-major operand (dualsuperreslearningforsemseg_tpu/ops/pallas/
+// fused_tail.py): out[g*4 + p][(b, hh, ww)] = segs[b][4*hh + 2*(g/2) + p/2]
+//                                                    [4*ww + 2*(g%2) + p%2],
+// g = first-ConvT 2x2 position (nested group), p = final-ConvT position —
+// row g*4 + p is the full nested g16 index, columns are plain (b, y, x)
+// pixel order matching the cols-layout activation rows.  A pure memory
+// shuffle here (~3 ms over the decode thread pool, fully overlapped with
+// device compute); the same permutation inside the XLA train program costs
+// ~7 ms/step of device time at (16,512,1024) on v5e because layout
 // assignment stages it through pathological relayouts.
-int dp_labels_positions_t(const uint8_t* segs, int n, int oh, int ow,
-                          uint8_t* out, int threads) {
+int dp_labels_g16_t(const uint8_t* segs, int n, int oh, int ow,
+                    uint8_t* out, int threads) {
   if (oh % 4 || ow % 4) return 1;
   if (threads < 1) threads = 1;
   const int hh = oh / 4, ww = ow / 4;
   const size_t in_seg = static_cast<size_t>(oh) * ow;
-  const size_t m = static_cast<size_t>(n) * hh * ww * 4;  // columns per row p
+  const size_t m = static_cast<size_t>(n) * hh * ww;  // columns per g16 row
   std::atomic<int> next{0};
 
   auto worker = [&]() {
@@ -503,20 +509,15 @@ int dp_labels_positions_t(const uint8_t* segs, int n, int oh, int ow,
       int b = next.fetch_add(1);
       if (b >= n) return;
       const uint8_t* src = segs + b * in_seg;
-      for (int p = 0; p < 4; ++p) {
-        const int kh = p >> 1, kw = p & 1;
-        uint8_t* dst = out + p * m + static_cast<size_t>(b) * hh * ww * 4;
+      for (int g16 = 0; g16 < 16; ++g16) {
+        const int g = g16 >> 2, p = g16 & 3;
+        const int row = 2 * (g >> 1) + (p >> 1);   // 2i + k
+        const int col = 2 * (g & 1) + (p & 1);     // 2j + l
+        uint8_t* dst = out + g16 * m + static_cast<size_t>(b) * hh * ww;
         for (int y = 0; y < hh; ++y) {
-          const uint8_t* r0 = src + static_cast<size_t>(4 * y + kh) * ow;
-          const uint8_t* r1 = r0 + 2 * ow;  // k1 = 1 rows
-          uint8_t* d = dst + static_cast<size_t>(y) * ww * 4;
-          for (int x = 0; x < ww; ++x) {
-            const int xb = 4 * x + kw;
-            d[4 * x + 0] = r0[xb];          // g = 0: (k1, l1) = (0, 0)
-            d[4 * x + 1] = r0[xb + 2];      // g = 1: (0, 1)
-            d[4 * x + 2] = r1[xb];          // g = 2: (1, 0)
-            d[4 * x + 3] = r1[xb + 2];      // g = 3: (1, 1)
-          }
+          const uint8_t* r = src + static_cast<size_t>(4 * y + row) * ow + col;
+          uint8_t* d = dst + static_cast<size_t>(y) * ww;
+          for (int x = 0; x < ww; ++x) d[x] = r[4 * x];
         }
       }
     }

@@ -118,18 +118,18 @@ def test_host_warp_transform_deterministic(tree):
     assert set(np.unique(a[1]).tolist()) <= set(range(19)) | {255}
 
 
-def test_native_labels_positions_t_matches_jnp(rng):
-    """The C++ position-major label layout == the jnp reference helper."""
+def test_native_labels_g16_t_matches_jnp(rng):
+    """The C++ g16-major label layout == the jnp reference helper."""
     import jax.numpy as jnp
     from dualsuperreslearningforsemseg_tpu.data.native import (native_available,
-                                                               labels_positions_t)
-    from dualsuperreslearningforsemseg_tpu.ops.conv import group_labels_positions_t
+                                                               labels_g16_t)
+    from dualsuperreslearningforsemseg_tpu.ops.conv import group_labels_g16_t
     if not native_available():
         import pytest
         pytest.skip("native data plane unavailable")
     seg = rng.integers(0, 256, (3, 32, 64)).astype(np.uint8)
-    got = labels_positions_t(seg)
-    want = np.asarray(group_labels_positions_t(jnp.asarray(seg)))
+    got = labels_g16_t(seg)
+    want = np.asarray(group_labels_g16_t(jnp.asarray(seg)))
     np.testing.assert_array_equal(got, want)
 
 
@@ -139,7 +139,7 @@ def test_host_warp_transform_emits_position_labels(tree):
     from dualsuperreslearningforsemseg_tpu.data import (make_host_warp_transform,
                                                         AugmentConfig)
     from dualsuperreslearningforsemseg_tpu.data.native import native_available
-    from dualsuperreslearningforsemseg_tpu.ops.conv import group_labels_positions_t
+    from dualsuperreslearningforsemseg_tpu.ops.conv import group_labels_g16_t
     if not native_available():
         import pytest
         pytest.skip("native data plane unavailable")
@@ -150,7 +150,7 @@ def test_host_warp_transform_emits_position_labels(tree):
                                   emit_position_labels=True)
     imgs_w, segs_w, labs = tf(0, 0, img[None], seg[None])
     np.testing.assert_array_equal(
-        labs, np.asarray(group_labels_positions_t(jnp.asarray(segs_w))))
+        labs, np.asarray(group_labels_g16_t(jnp.asarray(segs_w))))
 
 def test_stale_abi_rejected(tmp_path):
     """A .so reporting an old dp_version must not load (ADVICE r2: a stale

@@ -4,7 +4,10 @@ The kernel (ops/pallas/fused_tail.py) must reproduce
 ``cross_entropy_loss(conv_transpose_2x2_stride2_grouped(y1, W, b), labels)``
 — value and all three gradients — including ignore-label masking and the
 no-valid-pixels guard; and the train step with ``fused_tail=True`` must march
-in lockstep with the XLA path on a sharded mesh.
+in lockstep with the XLA path on a sharded mesh.  The kernel consumes the
+cols carry (B, H, W, 4*32); ``_to_cols`` maps the natural grouped activation
+into it with differentiable ops so the gradient comparison runs in natural
+shapes.
 """
 
 import numpy as np
@@ -14,8 +17,16 @@ import pytest
 
 from dualsuperreslearningforsemseg_tpu.losses import cross_entropy_loss
 from dualsuperreslearningforsemseg_tpu.ops.conv import (
-    conv_transpose_2x2_stride2_grouped, group_labels, group_labels_positions_t)
+    conv_transpose_2x2_stride2_grouped, group_labels, group_labels_g16_t,
+    TAIL_COL_BLOCK)
 from dualsuperreslearningforsemseg_tpu.ops.pallas.fused_tail import fused_convt2_ce_mean
+
+
+def _to_cols(y1):
+    """(B, H, W, 4, C) natural grouped -> (B, H, W, 4*32) cols carry."""
+    b, h, w, g, c = y1.shape
+    y = jnp.pad(y1, ((0, 0),) * 4 + ((0, TAIL_COL_BLOCK - c),))
+    return y.reshape(b, h, w, g * TAIL_COL_BLOCK)
 
 
 def _case(rng, b=2, h=8, w=16, ignore_rows=5):
@@ -30,14 +41,16 @@ def _case(rng, b=2, h=8, w=16, ignore_rows=5):
 
 
 def test_fused_tail_matches_xla_value_and_grads(rng):
-    y1, wt, bi, seg_g, _ = _case(rng)
+    y1, wt, bi, seg_g, seg = _case(rng)
+    labs_t = group_labels_g16_t(seg)
 
     def ref(y1, wt, bi):
         logits = conv_transpose_2x2_stride2_grouped(y1, wt, bi)
         return cross_entropy_loss(logits, seg_g, 255)
 
     def fused(y1, wt, bi):
-        return fused_convt2_ce_mean(y1, wt, bi, seg_g, 255, interpret=True)
+        return fused_convt2_ce_mean(_to_cols(y1), wt, bi, labs_t, 255,
+                                    interpret=True)
 
     v1, g1 = jax.value_and_grad(ref, argnums=(0, 1, 2))(y1, wt, bi)
     v2, g2 = jax.value_and_grad(fused, argnums=(0, 1, 2))(y1, wt, bi)
@@ -48,21 +61,23 @@ def test_fused_tail_matches_xla_value_and_grads(rng):
 
 
 def test_fused_tail_all_pixels_ignored(rng):
-    y1, wt, bi, seg_g, _ = _case(rng)
-    seg_all = jnp.full_like(seg_g, 255)
-    v = fused_convt2_ce_mean(y1, wt, bi, seg_all, 255, interpret=True)
+    y1, wt, bi, _, seg = _case(rng)
+    labs_all = jnp.full_like(group_labels_g16_t(seg), 255)
+    y1c = _to_cols(y1)
+    v = fused_convt2_ce_mean(y1c, wt, bi, labs_all, 255, interpret=True)
     assert float(v) == 0.0  # matches cross_entropy_loss's count == 0 guard
     # and the gradient through the guard is zero, not NaN
-    g = jax.grad(lambda y: fused_convt2_ce_mean(y, wt, bi, seg_all, 255,
-                                                interpret=True))(y1)
+    g = jax.grad(lambda y: fused_convt2_ce_mean(y, wt, bi, labs_all, 255,
+                                                interpret=True))(y1c)
     assert not np.any(np.isnan(np.asarray(g)))
     assert float(jnp.max(jnp.abs(g))) == 0.0
 
 
-def test_group_labels_positions_t_matches_group_labels(rng):
+def test_group_labels_g16_t_matches_group_labels(rng):
     _, _, _, seg_g, seg = _case(rng, b=3, h=4, w=8, ignore_rows=2)
-    lt = group_labels_positions_t(seg)
-    ref = np.asarray(seg_g).reshape(-1, 4).T.astype(np.uint8)
+    lt = group_labels_g16_t(seg)
+    # group_labels(seg, 4) is (B, H, W, 16) nested; row g16, column (b,h,w).
+    ref = np.asarray(seg_g).reshape(-1, 16).T.astype(np.uint8)
     assert lt.dtype == jnp.uint8
     np.testing.assert_array_equal(np.asarray(lt), ref)
 

@@ -17,11 +17,18 @@ import pytest
 
 from dualsuperreslearningforsemseg_tpu.losses import cross_entropy_loss
 from dualsuperreslearningforsemseg_tpu.ops.conv import (
-    conv_transpose_2x2_stride2_grouped, group_labels)
+    conv_transpose_2x2_stride2_grouped, group_labels, group_labels_g16_t,
+    TAIL_COL_BLOCK)
 from dualsuperreslearningforsemseg_tpu.ops.pallas.fused_tail import fused_convt2_ce_mean
 
 pytestmark = pytest.mark.skipif(jax.default_backend() != 'tpu',
                                 reason="needs real TPU (set DSRL_TPU_TESTS_ON_TPU=1)")
+
+
+def _to_cols(y1):
+    b, h, w, g, c = y1.shape
+    y = jnp.pad(y1, ((0, 0),) * 4 + ((0, TAIL_COL_BLOCK - c),))
+    return y.reshape(b, h, w, g * TAIL_COL_BLOCK)
 
 
 def _case(rng, b=2, h=32, w=64, ignore_rows=9):
@@ -32,11 +39,12 @@ def _case(rng, b=2, h=32, w=64, ignore_rows=9):
     seg = rng.integers(0, c, size=(b, h * 4, w * 4)).astype(np.int32)
     if ignore_rows:
         seg[0, :ignore_rows] = 255
-    return y1, wt, bi, group_labels(jnp.asarray(seg), 4)
+    return y1, wt, bi, group_labels(jnp.asarray(seg), 4), jnp.asarray(seg)
 
 
 def test_fused_tail_compiled_matches_xla(rng):
-    y1, wt, bi, seg_g = _case(rng)
+    y1, wt, bi, seg_g, seg = _case(rng)
+    labs_t = group_labels_g16_t(seg)
 
     @jax.jit
     def ref(y1, wt, bi):
@@ -48,7 +56,7 @@ def test_fused_tail_compiled_matches_xla(rng):
 
     @jax.jit
     def fused(y1, wt, bi):
-        return fused_convt2_ce_mean(y1, wt, bi, seg_g, 255)
+        return fused_convt2_ce_mean(_to_cols(y1), wt, bi, labs_t, 255)
 
     v1, g1 = jax.jit(jax.value_and_grad(ref, argnums=(0, 1, 2)))(y1, wt, bi)
     v2, g2 = jax.jit(jax.value_and_grad(fused, argnums=(0, 1, 2)))(y1, wt, bi)
@@ -61,10 +69,11 @@ def test_fused_tail_compiled_matches_xla(rng):
 
 
 def test_fused_tail_compiled_all_pixels_ignored(rng):
-    y1, wt, bi, seg_g = _case(rng, b=1, h=8, w=16)
-    seg_all = jnp.full_like(seg_g, 255)
-    v = jax.jit(lambda y: fused_convt2_ce_mean(y, wt, bi, seg_all, 255))(y1)
+    y1, wt, bi, _, seg = _case(rng, b=1, h=8, w=16)
+    labs_all = jnp.full_like(group_labels_g16_t(seg), 255)
+    y1c = _to_cols(y1)
+    v = jax.jit(lambda y: fused_convt2_ce_mean(y, wt, bi, labs_all, 255))(y1c)
     assert float(v) == 0.0
     g = jax.jit(jax.grad(
-        lambda y: fused_convt2_ce_mean(y, wt, bi, seg_all, 255)))(y1)
+        lambda y: fused_convt2_ce_mean(y, wt, bi, labs_all, 255)))(y1c)
     assert float(jnp.max(jnp.abs(g))) == 0.0

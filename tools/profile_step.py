@@ -56,8 +56,8 @@ def main():
     imgs_dev = jax.device_put(imgs, batch_sharding(mesh, 4))
     segs_dev = jax.device_put(segs, batch_sharding(mesh, 3))
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from dualsuperreslearningforsemseg_tpu.data.native import labels_positions_t
-    labs_dev = jax.device_put(labels_positions_t(segs),
+    from dualsuperreslearningforsemseg_tpu.data.native import labels_g16_t
+    labs_dev = jax.device_put(labels_g16_t(segs),
                               NamedSharding(mesh, P(None, 'data')))
 
     key = jax.random.key(0, impl='rbg' if jax.default_backend() == 'tpu'
