@@ -36,6 +36,29 @@ def check_version(version, major, minor):
     return (version[0], version[1]) >= (major, minor)
 
 
+def compile_cache_dir(backend: str) -> str:
+    """Persistent XLA compile-cache directory for ``backend`` ('tpu'/'cpu').
+
+    TPU programs are compiled by the (remote) TPU service, so one shared
+    directory is safe.  XLA:CPU entries are AOT *machine code* keyed only by
+    the program: an entry written on a different host loads with mismatched
+    ISA features (XLA only logs an error) and has been observed to produce
+    wrong numerics and SIGABRT here, so the CPU directory is keyed by the
+    host's CPU feature set."""
+    if backend != 'cpu':
+        # Any accelerator backend (tpu / the axon plugin name): device code,
+        # host-independent.
+        return '/tmp/dsrl_tpu_jax_cache'
+    import hashlib
+    try:
+        with open('/proc/cpuinfo') as f:
+            flags = next(line for line in f if line.startswith('flags'))
+    except (OSError, StopIteration):
+        flags = platform.processor() or 'unknown'
+    tag = hashlib.md5(flags.encode()).hexdigest()[:10]
+    return '/tmp/dsrl_tpu_jax_cache_cpu_' + tag
+
+
 def prevent_system_sleep():
     """Keep the machine awake during long runs (Windows only, like the
     reference /root/reference/utils.py:217-226; a no-op elsewhere)."""

@@ -28,11 +28,17 @@ _ON_TPU = os.environ.get("DSRL_TPU_TESTS_ON_TPU") == "1"
 if not _ON_TPU:
     jax.config.update("jax_platforms", "cpu")
 # Persistent compile cache: the CLI end-to-end tests trigger ~10 full-model
-# CPU compiles; caching makes warm reruns several times faster.
+# CPU compiles; caching makes warm reruns several times faster.  The CPU
+# directory is keyed by the host's CPU feature set (see
+# utils/fsutil.py::compile_cache_dir): /tmp moves between hosts here, and a
+# cross-machine XLA:CPU AOT entry loads with mismatched ISA features —
+# observed as wrong numerics (a convergence test's eval accuracy halved) and
+# SIGABRT, with only an E-log warning ("may lead to SIGILL").
+from dualsuperreslearningforsemseg_tpu.utils.fsutil import compile_cache_dir  # noqa: E402
+
 try:
     jax.config.update("jax_compilation_cache_dir",
-                      "/tmp/dsrl_tpu_jax_cache" if _ON_TPU
-                      else "/tmp/dsrl_tpu_jax_cache_cpu")
+                      compile_cache_dir("tpu" if _ON_TPU else "cpu"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:
     pass

@@ -26,7 +26,8 @@ import sys
 import jax
 jax.config.update('jax_platforms', 'cpu')
 try:
-    jax.config.update('jax_compilation_cache_dir', '/tmp/dsrl_tpu_jax_cache_cpu')
+    from dualsuperreslearningforsemseg_tpu.utils.fsutil import compile_cache_dir
+    jax.config.update('jax_compilation_cache_dir', compile_cache_dir('cpu'))
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 except Exception:
     pass
