@@ -192,36 +192,55 @@ def make_eval_step(model, stage: int, w1: float, w2: float, num_classes: int,
     """
 
     def eval_step(params, batch_stats, img_lo, img_hi, seg, sample_mask):
+        # Mask padded samples out of the label tensor: every pixel becomes
+        # ignore, removing them from CE and the metric histograms.
+        seg = jnp.where(sample_mask[:, None, None] > 0, seg, ignore_label)
+
         if dry_run:
             b, h, w = seg.shape
             key = jax.random.PRNGKey(0)
             sssr = jax.random.normal(key, (b, h, w, num_classes))
             sisr = jax.random.normal(key, img_hi.shape) if stage > 1 else None
-            sssr_t = sisr_t = None
+            ce = cross_entropy_loss(sssr, seg, ignore_label)
+            pred = argmax_lastdim(sssr)
         else:
+            # GROUPED layout end to end: CE, argmax and the metric
+            # histograms are permutation-invariant over the pixel set, so
+            # they run on the (B, H/4, W/4, 16, C) logits directly and only
+            # the int32 CLASS MAP is interleaved back to full resolution —
+            # 19x less data through the 8-D ungroup transpose than the
+            # ungrouped path's logits (CLAUDE.md: the same interleave cost
+            # ~4 ms/step per pass in training before the grouped rework).
+            from ..ops.conv import group_labels, ungroup_2x2, pixel_unshuffle
             sssr, sisr, sssr_t, sisr_t = model.apply(
-                {'params': params, 'batch_stats': batch_stats}, img_lo, False)
+                {'params': params, 'batch_stats': batch_stats}, img_lo,
+                False, False, True)
+            seg = group_labels(seg, 4)
+            ce = cross_entropy_loss(sssr, seg, ignore_label)
+            pred = argmax_lastdim(sssr)
 
-        # Mask padded samples out of the label tensor: every pixel becomes
-        # ignore, removing them from CE and the metric histograms.
-        seg = jnp.where(sample_mask[:, None, None] > 0, seg, ignore_label)
-        ce = cross_entropy_loss(sssr, seg, ignore_label)
         if stage > 1:
+            if not dry_run:
+                # Grouped SISR stays in pre-shuffle layout; unshuffling the
+                # target instead is the same multiset of squared differences.
+                img_hi = pixel_unshuffle(img_hi, 8)
             per_sample_mse = jnp.mean(
                 (sisr.astype(jnp.float32) - img_hi.astype(jnp.float32)) ** 2,
                 axis=(1, 2, 3))
             mse = w1 * jnp.sum(per_sample_mse * sample_mask) / jnp.maximum(sample_mask.sum(), 1)
         else:
             mse = jnp.float32(0)
-        if stage > 2:
+        if stage > 2 and not dry_run:
             # FA averages per (batch, channel) slice; reweight by sample mask.
             fa = w2 * _fa_masked(sssr_t, sisr_t, sample_mask)
         else:
             fa = jnp.float32(0)
         total = ce + mse + fa
-        pred = argmax_lastdim(sssr)
         hists = batch_histograms(pred, seg, num_classes, ignore_label)
         acc = batch_accuracy_counts(pred, seg, ignore_label)
+        if not dry_run:
+            # (B, H/4, W/4, 16) class map -> (B, H, W) for visualization.
+            pred = ungroup_2x2(pred[..., None])[..., 0]
         losses = {'CE': ce, 'MSE': mse, 'FA': fa, 'Total': total}
         return losses, pred, hists, acc
 

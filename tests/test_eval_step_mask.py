@@ -18,6 +18,59 @@ def _setup(stage):
     return model, variables, hw
 
 
+def test_grouped_eval_matches_ungrouped_reference(rng):
+    """make_eval_step runs the model in GROUPED layout (train/steps.py) —
+    its losses, metrics and full-res class map must equal the plain
+    ungrouped forward's, up to the einsum-order float noise the grouped
+    train paths are held to (tests/test_grouped_tail.py)."""
+    from dualsuperreslearningforsemseg_tpu.losses import cross_entropy_loss
+    from dualsuperreslearningforsemseg_tpu.metrics.device import (
+        argmax_lastdim, batch_histograms, batch_accuracy_counts)
+
+    model, variables, hw = _setup(3)
+    ohw = (2 * hw[0], 2 * hw[1])
+    eval_step = make_eval_step(model, 3, 0.1, 1.0, 19, 255)
+
+    b = 2
+    img_lo = jnp.asarray(rng.standard_normal((b, *hw, 3), dtype=np.float32))
+    img_hi = jnp.asarray(rng.standard_normal((b, *ohw, 3), dtype=np.float32))
+    seg = jnp.asarray(rng.integers(0, 19, size=(b, *ohw)).astype(np.int32))
+    seg = seg.at[:, :5].set(255)
+    mask = jnp.ones((b,), jnp.float32)
+
+    losses, pred, hists, acc = eval_step(
+        variables['params'], variables['batch_stats'], img_lo, img_hi, seg, mask)
+
+    sssr, sisr, sssr_t, sisr_t = model.apply(
+        {'params': variables['params'],
+         'batch_stats': variables['batch_stats']}, img_lo, False)
+    ce_ref = cross_entropy_loss(sssr, seg, 255)
+    mse_ref = 0.1 * jnp.mean((sisr.astype(jnp.float32)
+                              - img_hi.astype(jnp.float32)) ** 2)
+    from dualsuperreslearningforsemseg_tpu.losses import fa_loss
+    fa_ref = 1.0 * jnp.mean(jax.vmap(
+        lambda a, c: fa_loss(a[None], c[None]))(sssr_t, sisr_t))
+    pred_ref = argmax_lastdim(sssr)
+    hists_ref = batch_histograms(pred_ref, seg, 19, 255)
+    acc_ref = batch_accuracy_counts(pred_ref, seg, 255)
+
+    np.testing.assert_allclose(float(losses['CE']), float(ce_ref),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(float(losses['MSE']), float(mse_ref),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(float(losses['FA']), float(fa_ref),
+                               rtol=1e-4, atol=1e-6)
+    # The class maps may flip only where the einsum-order noise ties the
+    # top-2 logits (measure-zero on random data).
+    mismatch = int(jnp.sum(pred != pred_ref))
+    assert pred.shape == pred_ref.shape
+    assert mismatch <= 2, "class maps diverge on {} pixels".format(mismatch)
+    for h_new, h_ref in zip(hists, hists_ref):
+        assert int(jnp.abs(h_new - h_ref).sum()) <= 4
+    assert abs(int(acc[0]) - int(acc_ref[0])) <= 2
+    assert int(acc[1]) == int(acc_ref[1])
+
+
 def test_padding_is_exact_stage3(rng):
     model, variables, hw = _setup(3)
     ohw = (2 * hw[0], 2 * hw[1])
