@@ -137,3 +137,24 @@ def test_bf16_forward_finite():
     assert outs[0].dtype == jnp.bfloat16
     assert bool(jnp.isfinite(outs[0].astype(jnp.float32)).all())
 
+
+
+def test_fast_dropout_pad_lanes_lockstep(rng):
+    """FastDropout(pad_lanes=blk) on a natural (..., G, C) tensor must
+    realize the SAME mask its channel-padded-columns twin draws at physical
+    shape (..., G*blk) — the invariant that keeps the XLA reference tail in
+    dropout lockstep with the cols-layout fused-tail carry
+    (models/norm.py, models/dsrl.py)."""
+    from dualsuperreslearningforsemseg_tpu.models.norm import FastDropout
+    from dualsuperreslearningforsemseg_tpu.ops.conv import TAIL_COL_BLOCK
+
+    g, c, blk = 4, 19, TAIL_COL_BLOCK
+    x_nat = jnp.asarray(rng.standard_normal((2, 3, 5, g, c)), jnp.float32)
+    x_cols = jnp.pad(x_nat, ((0, 0),) * 4 + ((0, blk - c),)).reshape(2, 3, 5, g * blk)
+
+    drop = FastDropout(0.2)
+    key = {'dropout': jax.random.PRNGKey(42)}
+    y_nat = drop.apply({}, x_nat, False, pad_lanes=blk, rngs=key)
+    y_cols = drop.apply({}, x_cols, False, rngs=key)
+    y_cols_nat = y_cols.reshape(2, 3, 5, g, blk)[..., :c]
+    np.testing.assert_array_equal(np.asarray(y_nat), np.asarray(y_cols_nat))
