@@ -297,7 +297,7 @@ def _train_throughput_with_loader(stage, tree_images=96):
                          else 'threefry2x32')
     lr = jnp.float32(0.006)
 
-    def stage(batch):
+    def stage_batch(batch):
         imgs_u8, segs_u8, labs = batch
         return (jax.make_array_from_process_local_data(sharding, imgs_u8),
                 jax.make_array_from_process_local_data(sharding3, segs_u8),
@@ -310,7 +310,7 @@ def _train_throughput_with_loader(stage, tree_images=96):
         return state, key, losses
 
     from dualsuperreslearningforsemseg_tpu.data import DevicePrefetcher
-    stream = iter(DevicePrefetcher(batches(), stage))
+    stream = iter(DevicePrefetcher(batches(), stage_batch))
     warmup, measure = 6, 42
     t0 = time.time()
     for i in range(warmup):

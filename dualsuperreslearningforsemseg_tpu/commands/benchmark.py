@@ -19,7 +19,6 @@ import os.path
 from datetime import datetime
 
 import jax
-import jax.numpy as jnp
 from tqdm.auto import tqdm
 
 from .. import settings

@@ -171,6 +171,11 @@ class FastDropout(nn.Module):
         if deterministic or self.rate == 0.0:
             return x
         thresh = int(round(self.rate * 65536.0))
+        if thresh >= 65536:
+            # rate within 2^-17 of 1.0: the u16 threshold would WRAP to 0
+            # and keep everything at an infinite scale — match nn.Dropout's
+            # rate=1 semantics (all zeros) instead.
+            return jnp.zeros_like(x)
         if pad_lanes:
             shape = x.shape[:-1] + (pad_lanes,)
             bits = jax.random.bits(self.make_rng('dropout'), shape, jnp.uint16)

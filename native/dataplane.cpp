@@ -284,14 +284,20 @@ bool decode_png_fast(const char* path, uint8_t* out, size_t out_cap,
     pos = data + len + 4;  // skip CRC
   }
   // Fast path only for 8-bit non-interlaced gray (0) and RGB (2).
-  if (width == 0 || height == 0 || bit_depth != 8 || interlace != 0 ||
+  // Dimension sanity mirrors libpng's default 1M-pixel-per-side limit:
+  // IHDR is untrusted input, and without the bound `rowbytes * height`
+  // (size_t) can WRAP for crafted headers — sliding a giant image under
+  // out_cap — while huge-but-non-wrapping dims would throw bad_alloc
+  // across this extern "C" boundary and terminate the process.
+  if (width == 0 || height == 0 || width > 1000000u || height > 1000000u ||
+      bit_depth != 8 || interlace != 0 ||
       (color_type != 0 && color_type != 2) || idats.empty())
     return false;
   int channels = color_type == 2 ? 3 : 1;
   if (channels != force_channels) return false;  // conversion -> libpng
 
   const size_t rowbytes = static_cast<size_t>(width) * channels;
-  if (rowbytes * height > out_cap) {
+  if (rowbytes * height > out_cap) {  // bounded above: cannot wrap
     res->error = 4;
     return true;
   }

@@ -183,3 +183,42 @@ def test_loader_surfaces_producer_errors(tree):
     with pytest.raises(RuntimeError, match="host transform failed"):
         for _ in loader:
             pass
+
+
+def test_decode_rejects_crafted_huge_dims(tmp_path):
+    """A PNG whose IHDR claims absurd dimensions must come back as an error
+    code, not a crash: unbounded IHDR dims could wrap the fast path's
+    rowbytes*height size check or throw bad_alloc across the extern "C"
+    boundary (native/dataplane.cpp)."""
+    import struct
+    import zlib
+    from dualsuperreslearningforsemseg_tpu.data.native import (native_available,
+                                                               get_lib)
+    if not native_available():
+        import pytest
+        pytest.skip("native data plane unavailable")
+
+    def chunk(typ, data):
+        raw = typ + data
+        return struct.pack('>I', len(data)) + raw + struct.pack(
+            '>I', zlib.crc32(raw) & 0xFFFFFFFF)
+
+    # width = 0xFFFFFFF0, height chosen huge: a correct implementation
+    # rejects at the header, never allocating or writing.
+    ihdr = struct.pack('>IIBBBBB', 0xFFFFFFF0, 0x10000000, 8, 2, 0, 0, 0)
+    png = (b'\x89PNG\r\n\x1a\n' + chunk(b'IHDR', ihdr)
+           + chunk(b'IDAT', zlib.compress(b'\x00' * 16))
+           + chunk(b'IEND', b''))
+    p = tmp_path / 'huge.png'
+    p.write_bytes(png)
+
+    import ctypes
+    lib = get_lib()
+    out = np.zeros(1024 * 1024 * 3, np.uint8)
+    h = ctypes.c_int(0)
+    w = ctypes.c_int(0)
+    c = ctypes.c_int(0)
+    err = lib.dp_decode_png(str(p).encode(), out.ctypes.data_as(
+        ctypes.POINTER(ctypes.c_uint8)), out.size, ctypes.byref(h),
+        ctypes.byref(w), ctypes.byref(c), 3)
+    assert err != 0, "crafted huge-dims PNG must be rejected with an error"

@@ -5,7 +5,7 @@ The kernel (ops/pallas/fused_tail.py) must reproduce
 — value and all three gradients — including ignore-label masking and the
 no-valid-pixels guard; and the train step with ``fused_tail=True`` must march
 in lockstep with the XLA path on a sharded mesh.  The kernel consumes the
-cols carry (B, H, W, 4*32); ``_to_cols`` maps the natural grouped activation
+cols carry (B, H, W, 4*32); ``tail_layout.to_cols`` maps the natural grouped activation
 into it with differentiable ops so the gradient comparison runs in natural
 shapes.
 """
@@ -17,16 +17,12 @@ import pytest
 
 from dualsuperreslearningforsemseg_tpu.losses import cross_entropy_loss
 from dualsuperreslearningforsemseg_tpu.ops.conv import (
-    conv_transpose_2x2_stride2_grouped, group_labels, group_labels_g16_t,
-    TAIL_COL_BLOCK)
+    conv_transpose_2x2_stride2_grouped, group_labels, group_labels_g16_t)
 from dualsuperreslearningforsemseg_tpu.ops.pallas.fused_tail import fused_convt2_ce_mean
 
+from tail_layout import to_cols
 
-def _to_cols(y1):
-    """(B, H, W, 4, C) natural grouped -> (B, H, W, 4*32) cols carry."""
-    b, h, w, g, c = y1.shape
-    y = jnp.pad(y1, ((0, 0),) * 4 + ((0, TAIL_COL_BLOCK - c),))
-    return y.reshape(b, h, w, g * TAIL_COL_BLOCK)
+
 
 
 def _case(rng, b=2, h=8, w=16, ignore_rows=5):
@@ -49,7 +45,7 @@ def test_fused_tail_matches_xla_value_and_grads(rng):
         return cross_entropy_loss(logits, seg_g, 255)
 
     def fused(y1, wt, bi):
-        return fused_convt2_ce_mean(_to_cols(y1), wt, bi, labs_t, 255,
+        return fused_convt2_ce_mean(to_cols(y1), wt, bi, labs_t, 255,
                                     interpret=True)
 
     v1, g1 = jax.value_and_grad(ref, argnums=(0, 1, 2))(y1, wt, bi)
@@ -63,7 +59,7 @@ def test_fused_tail_matches_xla_value_and_grads(rng):
 def test_fused_tail_all_pixels_ignored(rng):
     y1, wt, bi, _, seg = _case(rng)
     labs_all = jnp.full_like(group_labels_g16_t(seg), 255)
-    y1c = _to_cols(y1)
+    y1c = to_cols(y1)
     v = fused_convt2_ce_mean(y1c, wt, bi, labs_all, 255, interpret=True)
     assert float(v) == 0.0  # matches cross_entropy_loss's count == 0 guard
     # and the gradient through the guard is zero, not NaN

@@ -17,18 +17,15 @@ import pytest
 
 from dualsuperreslearningforsemseg_tpu.losses import cross_entropy_loss
 from dualsuperreslearningforsemseg_tpu.ops.conv import (
-    conv_transpose_2x2_stride2_grouped, group_labels, group_labels_g16_t,
-    TAIL_COL_BLOCK)
+    conv_transpose_2x2_stride2_grouped, group_labels, group_labels_g16_t)
 from dualsuperreslearningforsemseg_tpu.ops.pallas.fused_tail import fused_convt2_ce_mean
+
+from tail_layout import to_cols
 
 pytestmark = pytest.mark.skipif(jax.default_backend() != 'tpu',
                                 reason="needs real TPU (set DSRL_TPU_TESTS_ON_TPU=1)")
 
 
-def _to_cols(y1):
-    b, h, w, g, c = y1.shape
-    y = jnp.pad(y1, ((0, 0),) * 4 + ((0, TAIL_COL_BLOCK - c),))
-    return y.reshape(b, h, w, g * TAIL_COL_BLOCK)
 
 
 def _case(rng, b=2, h=32, w=64, ignore_rows=9):
@@ -56,7 +53,7 @@ def test_fused_tail_compiled_matches_xla(rng):
 
     @jax.jit
     def fused(y1, wt, bi):
-        return fused_convt2_ce_mean(_to_cols(y1), wt, bi, labs_t, 255)
+        return fused_convt2_ce_mean(to_cols(y1), wt, bi, labs_t, 255)
 
     v1, g1 = jax.jit(jax.value_and_grad(ref, argnums=(0, 1, 2)))(y1, wt, bi)
     v2, g2 = jax.jit(jax.value_and_grad(fused, argnums=(0, 1, 2)))(y1, wt, bi)
@@ -71,7 +68,7 @@ def test_fused_tail_compiled_matches_xla(rng):
 def test_fused_tail_compiled_all_pixels_ignored(rng):
     y1, wt, bi, _, seg = _case(rng, b=1, h=8, w=16)
     labs_all = jnp.full_like(group_labels_g16_t(seg), 255)
-    y1c = _to_cols(y1)
+    y1c = to_cols(y1)
     v = jax.jit(lambda y: fused_convt2_ce_mean(y, wt, bi, labs_all, 255))(y1c)
     assert float(v) == 0.0
     g = jax.jit(jax.grad(
