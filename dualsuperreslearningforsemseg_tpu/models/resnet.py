@@ -108,6 +108,23 @@ class ResNet101(nn.Module):
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
+        # Optional block rematerialization (settings.BACKBONE_REMAT): the
+        # backbone traced HBM-bound (828 GB/s ~= v5e peak) with the MXU at
+        # 56%, so recomputing cheap intermediates in the backward buys back
+        # activation traffic with otherwise-idle FLOPs.  Mode 1 saves conv
+        # outputs and recomputes the elementwise BN/relu chains
+        # (dots_saveable); mode 2 saves only block boundaries.  Parameter
+        # tree and numerics are unchanged (same ops, re-executed).
+        from .. import settings as _settings
+        remat_mode = getattr(_settings, 'BACKBONE_REMAT', 0)
+        block_cls = Bottleneck
+        if remat_mode:
+            import jax
+            policy = (jax.checkpoint_policies.dots_saveable if remat_mode == 1
+                      else jax.checkpoint_policies.nothing_saveable)
+            block_cls = nn.remat(Bottleneck, static_argnums=(2, 3),
+                                 policy=policy)
+
         inplanes, dilation = 64, 1
         low_level_features = None
         for layer_idx, (planes, blocks) in enumerate(zip((64, 128, 256, 512), self.layers)):
@@ -119,7 +136,7 @@ class ResNet101(nn.Module):
                 stride = 1
             for block_idx in range(blocks):
                 first = block_idx == 0
-                x = Bottleneck(
+                x = block_cls(
                     planes=planes,
                     stride=stride if first else 1,
                     dilation=previous_dilation if first else dilation,

@@ -84,6 +84,14 @@ _layers_env = _os.environ.get('DSRL_TPU_BACKBONE_LAYERS')
 BACKBONE_LAYERS = tuple(int(x) for x in _layers_env.split(',')) if _layers_env \
     else (3, 4, 23, 3)
 
+# Backbone rematerialization (perf knob, parameter-tree neutral):
+#   0 = off, 1 = recompute elementwise in the backward (conv outputs saved,
+#   jax dots_saveable policy), 2 = full block remat (save block boundaries
+#   only).  The backbone traced HBM-bandwidth-bound at 828 GB/s with the
+#   MXU at 56% (round-3 xplane breakdown), so trading idle FLOPs for
+#   activation traffic is the indicated direction — measure per hardware.
+BACKBONE_REMAT = int(_os.environ.get('DSRL_TPU_BACKBONE_REMAT', '0'))
+
 # Dataset registry (/root/reference/settings.py:65-74).  The 'class' entry is a
 # factory (root, split, synthetic=False) -> data.reader dataset object.
 def _cityscapes_factory(path, split, transforms=None):

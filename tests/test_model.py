@@ -158,3 +158,38 @@ def test_fast_dropout_pad_lanes_lockstep(rng):
     y_cols = drop.apply({}, x_cols, False, rngs=key)
     y_cols_nat = y_cols.reshape(2, 3, 5, g, blk)[..., :c]
     np.testing.assert_array_equal(np.asarray(y_nat), np.asarray(y_cols_nat))
+
+
+@pytest.mark.parametrize('mode', [1, 2])
+def test_backbone_remat_is_numerically_identical(rng, mode):
+    """settings.BACKBONE_REMAT is a pure perf knob: same param tree, same
+    forward values, same gradients (models/resnet.py wraps Bottleneck in
+    nn.remat; the ops are merely re-executed in the backward)."""
+    from dualsuperreslearningforsemseg_tpu import settings
+    from dualsuperreslearningforsemseg_tpu.models.resnet import ResNet101
+
+    x = jnp.asarray(rng.standard_normal((2, 64, 128, 3)), jnp.float32)
+
+    def run(m):
+        old = settings.BACKBONE_REMAT
+        settings.BACKBONE_REMAT = m
+        try:
+            model = ResNet101(layers=(1, 1, 2, 1))
+            variables = model.init(jax.random.PRNGKey(0), x, False)
+
+            def loss(params):
+                (f4, f1), _ = model.apply(
+                    {'params': params, 'batch_stats': variables['batch_stats']},
+                    x, True, mutable=['batch_stats'])
+                return jnp.sum(f4 ** 2) * 1e-3 + jnp.sum(f1 ** 2) * 1e-4
+
+            val, grads = jax.value_and_grad(loss)(variables['params'])
+            return float(val), jax.tree.map(np.asarray, grads)
+        finally:
+            settings.BACKBONE_REMAT = old
+
+    val0, grads0 = run(0)
+    val1, grads1 = run(mode)
+    assert abs(val0 - val1) < 1e-5 * abs(val0)
+    for a, b in zip(jax.tree.leaves(grads0), jax.tree.leaves(grads1)):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
