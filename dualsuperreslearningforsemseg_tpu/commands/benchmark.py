@@ -23,7 +23,7 @@ from tqdm.auto import tqdm
 
 from .. import settings
 from ..checkpoint import load_checkpoint_or_weights
-from ..data import Loader, make_eval_transform_fn, AugmentConfig
+from ..data import Loader, DevicePrefetcher, make_eval_transform_fn, AugmentConfig
 from ..metrics import mIoU, Accuracy, AverageMeter
 from ..models import DSRL, load_state_dict
 from ..parallel import (make_mesh, batch_sharding, replicate, is_master_rank,
@@ -72,22 +72,34 @@ def benchmark(weights, dataset, device, num_workers, batch_size, **other_args):
     accuracy_mean = Accuracy()
     n_images = 0
 
+    def stage_batch(batch):
+        """Runs on the DevicePrefetcher thread: pad/mask + H2D staging
+        overlap the device's evaluation of the previous batch (same shape
+        as the training-loop validator, train_or_resume.py)."""
+        imgs_u8, segs_u8 = batch
+        n = imgs_u8.shape[0]
+        imgs_u8, segs_u8, mask = pad_batch_to_shards(imgs_u8, segs_u8, n_shards)
+        return (jax.make_array_from_process_local_data(sharding, imgs_u8),
+                jax.make_array_from_process_local_data(sharding3, segs_u8),
+                jax.make_array_from_process_local_data(sharding1, mask), n)
+
+    # Per-batch results stay ON DEVICE until the loop ends: fetching (or
+    # float()-ing) inside the loop would drain the dispatch queue every
+    # step.  The pending payload is three 19-vectors + 3 scalars per batch.
+    pending = []
     with tqdm(total=len(loader), desc='BENCHMARKING', colour='yellow',
               position=0, leave=False, bar_format=settings.PROGRESSBAR_FORMAT) as progressbar:
-        for imgs_u8, segs_u8 in loader:
-            n = imgs_u8.shape[0]
-            imgs_u8, segs_u8, mask = pad_batch_to_shards(imgs_u8, segs_u8, n_shards)
-            imgs_dev = jax.make_array_from_process_local_data(sharding, imgs_u8)
-            segs_dev = jax.make_array_from_process_local_data(sharding3, segs_u8)
-            mask_dev = jax.make_array_from_process_local_data(sharding1, mask)
+        for imgs_dev, segs_dev, mask_dev, n in DevicePrefetcher(loader, stage_batch):
             (img_lo, img_hi), (seg_hi, _) = eval_fn(imgs_dev, segs_dev)
             losses, _, hists, acc = eval_step(params, batch_stats,
                                               img_lo, img_hi, seg_hi, mask_dev)
-            CE_avg_loss.update(float(losses['CE']), n)
-            miou.update_from_areas(*jax.device_get(hists))
-            accuracy_mean.update_from_counts(*[int(v) for v in jax.device_get(acc)])
+            pending.append((losses['CE'], hists, acc, n))
             n_images += n
             progressbar.update()
+    for ce, hists, acc, n in pending:
+        CE_avg_loss.update(float(ce), n)
+        miou.update_from_areas(*jax.device_get(hists))
+        accuracy_mean.update_from_counts(*[int(v) for v in jax.device_get(acc)])
 
     elapsed = (datetime.now() - process_start_timestamp).total_seconds()
     print("-------- RESULTS --------")
