@@ -574,23 +574,30 @@ def _val_epoch(state, eval_step, loader, eval_fn, mesh, epoch, stage, master,
                     jax.make_array_from_process_local_data(sharding3, segs_u8),
                     jax.make_array_from_process_local_data(sharding1, mask), n)
 
+        # Per-batch results stay ON DEVICE until the pass ends: a device_get
+        # inside the loop drains the dispatch queue between batches (the
+        # pending payload is 4 scalars + three 19-vectors + 2 counts each).
+        pending = []
         for i, (imgs_dev, segs_dev, mask_dev, n) in enumerate(
                 DevicePrefetcher(loader, stage_val_batch)):
             (img_lo, img_hi), (seg_hi, _) = eval_fn(imgs_dev, segs_dev)
             losses, pred, hists, acc = eval_step(state.params, state.batch_stats,
                                                  img_lo, img_hi, seg_hi, mask_dev)
-            host = jax.device_get(losses)
-            CE_avg.update(float(host['CE']), n)
-            MSE_avg.update(float(host['MSE']), n)
-            FA_avg.update(float(host['FA']), n)
-            Total_avg.update(float(host['Total']), n)
-            miou.update_from_areas(*jax.device_get(hists))
-            mean_accuracy.update_from_counts(*[int(v) for v in jax.device_get(acc)])
+            pending.append((losses, hists, acc, n))
 
             if master:
                 progressbar.update()
                 if i == example_index:
                     _log_example_image(logger, img_hi, pred, ds_settings, epoch)
+
+    for losses, hists, acc, n in pending:
+        host = jax.device_get(losses)
+        CE_avg.update(float(host['CE']), n)
+        MSE_avg.update(float(host['MSE']), n)
+        FA_avg.update(float(host['FA']), n)
+        Total_avg.update(float(host['Total']), n)
+        miou.update_from_areas(*jax.device_get(hists))
+        mean_accuracy.update_from_counts(*[int(v) for v in jax.device_get(acc)])
 
     if master:
         log = ["Avg. CE: {:.4f}".format(CE_avg())]
