@@ -58,7 +58,11 @@ _G = 4             # first-ConvT 2x2 positions carried in the input columns
 _NPOS = 4          # final-ConvT 2x2 output positions per input pixel
 _NCOLS = _G * _BLK            # input columns  = 128 = one lane tile
 _NROWS = _G * _NPOS * _BLK    # logits rows    = 512 = 16 class blocks
-_MAX_ROW_TILE = 512
+# Activation rows per grid step; env-overridable so hardware sweeps don't
+# edit code (values must keep the VMEM working set — ~r*6.5 KB fwd,
+# ~r*13 KB bwd — under budget, and r must divide the pixel count).
+_MAX_ROW_TILE = int(__import__('os').environ.get('DSRL_TPU_TAIL_ROW_TILE',
+                                                 '512'))
 
 _NEG = -1e30       # bias pad: exp(_NEG - m) == 0 exactly in f32
 
