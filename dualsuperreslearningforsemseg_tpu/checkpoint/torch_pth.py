@@ -52,14 +52,13 @@ def _rebuild_tensor_v2(storage, storage_offset, size, stride, requires_grad=None
                        backward_hooks=None, metadata=None):
     ref, raw = storage
     if ref.dtype_name == 'BFloat16Storage':
+        # Widened to f32, so the stride math below in data.dtype.itemsize
+        # units is correct for the promoted array.
         u16 = np.frombuffer(raw, dtype=np.uint16)
         data = (u16.astype(np.uint32) << 16).view(np.float32)
-        itemsize = 2
     else:
         dtype = _DTYPE_BY_STORAGE[ref.dtype_name]
         data = np.frombuffer(raw, dtype=dtype)
-        itemsize = data.dtype.itemsize
-    del itemsize
     if not size:
         return data[storage_offset].copy()
     arr = np.lib.stride_tricks.as_strided(
@@ -171,7 +170,14 @@ class _TorchUnpickler(pickle.Unpickler):
             fake = _FakeClass(module, name)
             fake.name = name
             return fake
-        return super().find_class(module, name)
+        # NEVER delegate to the default resolver: .pth files are untrusted
+        # input (any --weights/--init-weights path routes here), and pickle
+        # GLOBAL+REDUCE on an arbitrary importable (os.system, ...) executes
+        # at load time.  A real state dict needs nothing outside torch.*
+        # and OrderedDict.
+        raise pickle.UnpicklingError(
+            "refusing to resolve {}.{} from a .pth file (only torch tensor "
+            "rebuilds and OrderedDict are allowed)".format(module, name))
 
 
 def load_torch_pth(filename):
@@ -195,5 +201,7 @@ def load_torch_pth(filename):
     except ImportError as exc:
         raise RuntimeError(
             "'{}' is a legacy torch pickle; reading it requires torch".format(filename)) from exc
-    state = torch.load(filename, map_location='cpu', weights_only=False)
+    # weights_only=True: same untrusted-input rule as find_class above —
+    # the legacy path must not become the pickle-execution loophole.
+    state = torch.load(filename, map_location='cpu', weights_only=True)
     return {k: v.numpy() if hasattr(v, 'numpy') else v for k, v in state.items()}

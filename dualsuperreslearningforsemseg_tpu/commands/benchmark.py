@@ -75,10 +75,13 @@ def benchmark(weights, dataset, device, num_workers, batch_size, **other_args):
     def stage_batch(batch):
         """Runs on the DevicePrefetcher thread: pad/mask + H2D staging
         overlap the device's evaluation of the previous batch (same shape
-        as the training-loop validator, train_or_resume.py)."""
-        imgs_u8, segs_u8 = batch
-        n = imgs_u8.shape[0]
-        imgs_u8, segs_u8, mask = pad_batch_to_shards(imgs_u8, segs_u8, n_shards)
+        as the training-loop validator, train_or_resume.py).  The Loader's
+        valid mask (drop_last=False cyclic shard duplicates) folds into the
+        batch-padding mask so no sample is double-counted."""
+        imgs_u8, segs_u8, valid = batch
+        n = int(valid.sum())
+        imgs_u8, segs_u8, mask = pad_batch_to_shards(imgs_u8, segs_u8,
+                                                     n_shards, valid)
         return (jax.make_array_from_process_local_data(sharding, imgs_u8),
                 jax.make_array_from_process_local_data(sharding3, segs_u8),
                 jax.make_array_from_process_local_data(sharding1, mask), n)

@@ -562,14 +562,18 @@ def _val_epoch(state, eval_step, loader, eval_fn, mesh, epoch, stage, master,
             total=len(loader), desc='VALIDATING', colour='yellow', position=1,
             leave=False, bar_format=settings.PROGRESSBAR_FORMAT)) as progressbar:
         def stage_val_batch(batch):
-            imgs_u8, segs_u8 = batch
-            n = imgs_u8.shape[0]
+            # drop_last=False: the Loader also yields its per-sample valid
+            # mask (cyclic shard-padding duplicates, pipeline.ShardedSampler).
+            imgs_u8, segs_u8, valid = batch
+            n = int(valid.sum())
             # Pad ragged final batches up to the shard count; the sample mask
-            # removes padded rows from every loss/metric (steps.make_eval_step).
-            # The mask is assembled into a GLOBAL array exactly like the
-            # image/label batches so its length matches theirs under
-            # multi-process runs (process-local length != global length).
-            imgs_u8, segs_u8, mask = pad_batch_to_shards(imgs_u8, segs_u8, n_shards)
+            # (shard duplicates AND batch padding) removes masked rows from
+            # every loss/metric (steps.make_eval_step).  The mask is
+            # assembled into a GLOBAL array exactly like the image/label
+            # batches so its length matches theirs under multi-process runs
+            # (process-local length != global length).
+            imgs_u8, segs_u8, mask = pad_batch_to_shards(imgs_u8, segs_u8,
+                                                         n_shards, valid)
             return (jax.make_array_from_process_local_data(sharding, imgs_u8),
                     jax.make_array_from_process_local_data(sharding3, segs_u8),
                     jax.make_array_from_process_local_data(sharding1, mask), n)

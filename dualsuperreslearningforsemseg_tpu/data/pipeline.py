@@ -34,6 +34,13 @@ class ShardedSampler:
         self.drop_last = drop_last
 
     def indices_for_epoch(self, epoch: int):
+        """Per-rank sample indices.  ``drop_last=False`` pads the global
+        order CYCLICALLY up to a world-size multiple (equal shard lengths on
+        every rank — unequal lengths deadlock collective evaluation), and
+        marks each pad entry as ``-(index + 1)``: the Loader decodes the
+        duplicate for shape uniformity but reports it invalid, so padded
+        samples are masked out of every loss and metric instead of being
+        double-counted (torch's DistributedSampler double-counts here)."""
         if self.shuffle:
             g = np.random.default_rng(self.seed + epoch)
             order = g.permutation(self.num_samples)
@@ -43,10 +50,21 @@ class ShardedSampler:
             usable = (len(order) // self.world_size) * self.world_size
             order = order[:usable]
         else:
-            pad = (-len(order)) % self.world_size
+            pad = self.pad_count()
             if pad:
-                order = np.concatenate([order, order[:pad]])
+                # Cyclic fill handles num_samples < world_size too.
+                fill = np.resize(order, pad)
+                order = np.concatenate([order, -(fill + 1)])
         return order[self.rank::self.world_size]
+
+    def pad_count(self) -> int:
+        return 0 if self.drop_last else (-self.num_samples) % self.world_size
+
+    def shard_len(self) -> int:
+        """len(indices_for_epoch(e)) for any epoch, O(1)."""
+        if self.drop_last:
+            return self.num_samples // self.world_size
+        return (self.num_samples + self.pad_count()) // self.world_size
 
 
 class DevicePrefetcher:
@@ -78,22 +96,25 @@ class DevicePrefetcher:
         def worker():
             it = iter(self.host_iter)
             try:
-                for batch in it:
-                    if stop.is_set():
-                        return
-                    staged = self.put_fn(batch)
-                    if stop.is_set():
-                        return
-                    out_q.put(staged)
+                try:
+                    for batch in it:
+                        if stop.is_set():
+                            return
+                        staged = self.put_fn(batch)
+                        if stop.is_set():
+                            return
+                        out_q.put(staged)
+                finally:
+                    # Inside the outer try: a raising close() must forward
+                    # like any other failure — skipping both sentinel puts
+                    # would block the consumer on a dead worker forever.
+                    close = getattr(it, 'close', None)
+                    if close is not None:
+                        close()
+                out_q.put(None)
             except BaseException as exc:  # noqa: BLE001 — forwarded, not hidden
                 if not stop.is_set():
                     out_q.put(exc)
-                return
-            finally:
-                close = getattr(it, 'close', None)
-                if close is not None:
-                    close()
-            out_q.put(None)
 
         thread = threading.Thread(target=worker, daemon=True)
         thread.start()
@@ -156,7 +177,7 @@ class Loader:
         self.epoch = epoch
 
     def __len__(self):
-        n = len(self.sampler.indices_for_epoch(0))
+        n = self.sampler.shard_len()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -174,11 +195,17 @@ class Loader:
         epoch = self.epoch
 
         def decode_batch(batch_number, batch_idx):
+            # drop_last=False pads shards with CYCLIC duplicates marked as
+            # -(index + 1) (ShardedSampler): decode the duplicate for shape
+            # uniformity, report it invalid so consumers mask it out of
+            # every loss and metric.
+            valid = (np.asarray(batch_idx) >= 0).astype(np.float32)
+            real_idx = [int(i) if i >= 0 else int(-(i + 1)) for i in batch_idx]
             imgs = segs = None
             if self._native_hw is not None:
                 from .native import decode_pair_batch
-                img_paths = [self.dataset.pairs[int(i)][0] for i in batch_idx]
-                seg_paths = [self.dataset.pairs[int(i)][1] for i in batch_idx]
+                img_paths = [self.dataset.pairs[i][0] for i in real_idx]
+                seg_paths = [self.dataset.pairs[i][1] for i in real_idx]
                 try:
                     imgs, segs = decode_pair_batch(img_paths, seg_paths, self._native_hw,
                                                    threads=self.native_threads)
@@ -186,17 +213,19 @@ class Loader:
                     imgs = segs = None  # fall through to PIL
             if imgs is None:
                 imgs, segs = [], []
-                for i in batch_idx:
-                    img, seg = self.dataset[int(i)]
+                for i in real_idx:
+                    img, seg = self.dataset[i]
                     imgs.append(img)
                     segs.append(seg)
                 imgs, segs = np.stack(imgs), np.stack(segs)
             if self.host_transform is not None:
                 # May return (imgs, segs) or (imgs, segs, extras...) — e.g.
-                # the position-major label operand for the fused tail kernel;
-                # yielded through as-is.
-                return self.host_transform(epoch, batch_number, imgs, segs)
-            return imgs, segs
+                # the g16-major label operand for the fused tail kernel;
+                # yielded through as-is (plus the valid mask in
+                # drop_last=False mode).
+                out = self.host_transform(epoch, batch_number, imgs, segs)
+                return out if self.drop_last else (*out, valid)
+            return (imgs, segs) if self.drop_last else (imgs, segs, valid)
 
         def producer():
             # Any failure (decode error, native-warp error, ...) is forwarded

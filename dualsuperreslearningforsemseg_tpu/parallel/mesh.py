@@ -45,16 +45,21 @@ def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
-def pad_batch_to_shards(imgs_u8, segs_u8, multiple):
+def pad_batch_to_shards(imgs_u8, segs_u8, multiple, valid=None):
     """Pad a host batch up to a multiple of the per-process shard count.
 
     Returns ``(imgs, segs, mask)`` where mask (B,) f32 is 1 for real samples
     and 0 for padding — the eval step (train/steps.py::make_eval_step) drops
     masked rows from every loss and metric, making drop_last=False evaluation
-    exact on a sharded mesh."""
+    exact on a sharded mesh.  ``valid`` is the Loader's per-sample mask
+    (drop_last=False shard padding — cyclic DUPLICATES the batch shapes
+    cannot reveal, data/pipeline.py::ShardedSampler); it folds into the
+    returned mask so duplicated samples are not double-counted either."""
     n = imgs_u8.shape[0]
     pad = (-n) % max(multiple, 1)
     mask = np.ones((n + pad,), np.float32)
+    if valid is not None:
+        mask[:n] = np.asarray(valid, np.float32)
     if pad:
         mask[n:] = 0.0
         imgs_u8 = np.concatenate([imgs_u8, np.zeros((pad, *imgs_u8.shape[1:]), imgs_u8.dtype)])

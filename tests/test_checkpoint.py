@@ -101,3 +101,25 @@ def test_save_torch_pth_roundtrip_with_real_torch(tmp_path, rng):
     via_ours = load_torch_pth(path)
     for k, v in state.items():
         np.testing.assert_array_equal(np.asarray(via_ours[k]), v)
+
+
+def test_torch_pth_rejects_arbitrary_globals(tmp_path):
+    """.pth files are untrusted input (--weights/--init-weights paths route
+    straight here): a crafted pickle resolving a non-torch global must be
+    refused, never imported or called (checkpoint/torch_pth.py find_class)."""
+    import io
+    import pickle
+    import pickletools
+    import zipfile
+
+    import pytest
+    from dualsuperreslearningforsemseg_tpu.checkpoint.torch_pth import load_torch_pth
+
+    evil = tmp_path / 'evil.pth'
+    # torch-zip shaped container whose data.pkl GLOBALs os.system.
+    payload = (b'\x80\x02cos\nsystem\nq\x00X\x04\x00\x00\x00trueq\x01\x85q\x02Rq\x03.')
+    pickletools.dis(payload, out=io.StringIO())  # well-formed pickle
+    with zipfile.ZipFile(evil, 'w') as zf:
+        zf.writestr('archive/data.pkl', payload)
+    with pytest.raises(pickle.UnpicklingError, match='refusing to resolve'):
+        load_torch_pth(str(evil))

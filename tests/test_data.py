@@ -178,3 +178,60 @@ def test_color_jitter_hue_matches_torch_rotation(rng):
     finally:
         jax.random.uniform = jax_random_uniform
     np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_sampler_pads_cyclically_and_marks_duplicates():
+    """drop_last=False must give every rank the SAME shard length (unequal
+    lengths deadlock collective eval) while marking the cyclic pad entries
+    negative so nothing is double-counted (the torch DistributedSampler it
+    replaces double-counts its duplicates)."""
+    from dualsuperreslearningforsemseg_tpu.data.pipeline import ShardedSampler
+
+    # Cityscapes-val-like: 500 images over 8 ranks -> 4 duplicates.
+    shards = [ShardedSampler(500, world_size=8, rank=r, shuffle=False,
+                             drop_last=False).indices_for_epoch(0)
+              for r in range(8)]
+    assert {len(s) for s in shards} == {63}
+    flat = np.concatenate(shards)
+    real = flat[flat >= 0]
+    pads = flat[flat < 0]
+    assert sorted(real.tolist()) == list(range(500))
+    assert len(pads) == 4
+    assert all(0 <= -(p + 1) < 500 for p in pads)
+
+    # Fewer samples than ranks: cyclic wrap keeps every shard length 1.
+    tiny = [ShardedSampler(3, world_size=8, rank=r, shuffle=False,
+                           drop_last=False).indices_for_epoch(0)
+            for r in range(8)]
+    assert {len(s) for s in tiny} == {1}
+    flat = np.concatenate(tiny)
+    assert sorted(flat[flat >= 0].tolist()) == [0, 1, 2]
+    assert sorted((-(flat[flat < 0] + 1)).tolist()) == [0, 0, 1, 1, 2]
+
+
+def test_loader_drop_last_false_yields_valid_mask():
+    """drop_last=False batches carry a per-sample valid mask; duplicated
+    shard-padding samples decode normally but read invalid, and
+    pad_batch_to_shards folds the mask into its batch-padding mask."""
+    from dualsuperreslearningforsemseg_tpu.parallel import pad_batch_to_shards
+
+    ds = SyntheticDataset(num_images=5, size_hw=(16, 32))
+    loader = Loader(ds, batch_size=4, shuffle=False, drop_last=False,
+                    num_workers=2, world_size=2, rank=0)
+    batches = list(iter(loader))
+    assert len(batches) == 1 == len(loader)  # ceil((5+1)/2 / 4) = 1
+    imgs, segs, valid = batches[0]
+    assert imgs.shape == (3, 16, 32, 3) and segs.shape == (3, 16, 32)
+    # rank 0 gets positions 0, 2, 4 of the padded order [0..4, dup(0)]
+    np.testing.assert_array_equal(valid, [1.0, 1.0, 1.0])
+
+    loader1 = Loader(ds, batch_size=4, shuffle=False, drop_last=False,
+                     num_workers=2, world_size=2, rank=1)
+    imgs, segs, valid = next(iter(loader1))
+    # rank 1 gets positions 1, 3, 5 -> the last is the cyclic duplicate
+    np.testing.assert_array_equal(valid, [1.0, 1.0, 0.0])
+    np.testing.assert_array_equal(imgs[2], ds[0][0])  # decoded duplicate of 0
+
+    padded_i, padded_s, mask = pad_batch_to_shards(imgs, segs, 4, valid)
+    assert padded_i.shape[0] == 4
+    np.testing.assert_array_equal(mask, [1.0, 1.0, 0.0, 0.0])
