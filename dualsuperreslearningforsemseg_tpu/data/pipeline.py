@@ -67,6 +67,46 @@ class ShardedSampler:
         return (self.num_samples + self.pad_count()) // self.world_size
 
 
+def _pump(produce, maxsize):
+    """The producer/consumer liveness protocol both pipeline stages share.
+
+    Runs ``produce(emit, stop)`` on a daemon thread and yields everything it
+    emits.  The discipline lives HERE, once: on normal completion a ``None``
+    sentinel is enqueued; any exception (including from a generator's
+    ``close()``) is forwarded and re-raised in the consumer; on consumer
+    exit ``stop`` is set and the queue drained so a producer blocked on a
+    full queue can observe it and die — the consumer never blocks on a dead
+    worker, and the worker never outlives an abandoned consumer."""
+    out_q = queue.Queue(maxsize=maxsize)
+    stop = threading.Event()
+
+    def worker():
+        try:
+            produce(out_q.put, stop)
+            out_q.put(None)
+        except BaseException as exc:  # noqa: BLE001 — forwarded, not hidden
+            if not stop.is_set():
+                out_q.put(exc)
+
+    thread = threading.Thread(target=worker, daemon=True)
+    thread.start()
+    try:
+        while True:
+            item = out_q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        while thread.is_alive():
+            try:
+                out_q.get_nowait()
+            except queue.Empty:
+                thread.join(timeout=0.1)
+
+
 class DevicePrefetcher:
     """Stage host batches onto the device ahead of consumption.
 
@@ -90,49 +130,24 @@ class DevicePrefetcher:
         self.depth = depth
 
     def __iter__(self):
-        out_q = queue.Queue(maxsize=self.depth)
-        stop = threading.Event()
-
-        def worker():
+        def produce(emit, stop):
             it = iter(self.host_iter)
             try:
-                try:
-                    for batch in it:
-                        if stop.is_set():
-                            return
-                        staged = self.put_fn(batch)
-                        if stop.is_set():
-                            return
-                        out_q.put(staged)
-                finally:
-                    # Inside the outer try: a raising close() must forward
-                    # like any other failure — skipping both sentinel puts
-                    # would block the consumer on a dead worker forever.
-                    close = getattr(it, 'close', None)
-                    if close is not None:
-                        close()
-                out_q.put(None)
-            except BaseException as exc:  # noqa: BLE001 — forwarded, not hidden
-                if not stop.is_set():
-                    out_q.put(exc)
+                for batch in it:
+                    if stop.is_set():
+                        return
+                    staged = self.put_fn(batch)
+                    if stop.is_set():
+                        return
+                    emit(staged)
+            finally:
+                # A raising close() propagates into _pump's forwarding —
+                # it must surface like any other producer failure.
+                close = getattr(it, 'close', None)
+                if close is not None:
+                    close()
 
-        thread = threading.Thread(target=worker, daemon=True)
-        thread.start()
-        try:
-            while True:
-                item = out_q.get()
-                if item is None:
-                    break
-                if isinstance(item, BaseException):
-                    raise item
-                yield item
-        finally:
-            stop.set()
-            while thread.is_alive():
-                try:
-                    out_q.get_nowait()
-                except queue.Empty:
-                    thread.join(timeout=0.1)
+        return _pump(produce, maxsize=self.depth)
 
 
 class Loader:
@@ -190,8 +205,6 @@ class Loader:
             yield b, idx[b * self.batch_size:(b + 1) * self.batch_size]
 
     def __iter__(self):
-        out_q = queue.Queue(maxsize=self.prefetch)
-        stop = threading.Event()
         epoch = self.epoch
 
         def decode_batch(batch_number, batch_idx):
@@ -227,47 +240,23 @@ class Loader:
                 return out if self.drop_last else (*out, valid)
             return (imgs, segs) if self.drop_last else (imgs, segs, valid)
 
-        def producer():
-            # Any failure (decode error, native-warp error, ...) is forwarded
-            # through the queue and re-raised in __iter__; the consumer must
-            # never block forever on a dead producer.
-            try:
-                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                    futures = []
-                    for batch_number, batch_idx in self._batches_indices():
-                        if stop.is_set():
-                            break
-                        futures.append(pool.submit(decode_batch, batch_number, batch_idx))
-                        # Bound the number of in-flight decode jobs.
-                        while len(futures) >= self.num_workers + self.prefetch:
-                            out_q.put(futures.pop(0).result())
-                            if stop.is_set():
-                                return
-                    for fut in futures:
+        def produce(emit, stop):
+            # Any failure (decode error, native-warp error, ...) propagates
+            # into _pump's forwarding and re-raises in the consumer.
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                futures = []
+                for batch_number, batch_idx in self._batches_indices():
+                    if stop.is_set():
+                        break
+                    futures.append(pool.submit(decode_batch, batch_number, batch_idx))
+                    # Bound the number of in-flight decode jobs.
+                    while len(futures) >= self.num_workers + self.prefetch:
+                        emit(futures.pop(0).result())
                         if stop.is_set():
                             return
-                        out_q.put(fut.result())
-            except BaseException as exc:  # noqa: BLE001 — forwarded, not hidden
-                if not stop.is_set():
-                    out_q.put(exc)
-                return
-            out_q.put(None)
+                for fut in futures:
+                    if stop.is_set():
+                        return
+                    emit(fut.result())
 
-        thread = threading.Thread(target=producer, daemon=True)
-        thread.start()
-        try:
-            while True:
-                item = out_q.get()
-                if item is None:
-                    break
-                if isinstance(item, BaseException):
-                    raise item
-                yield item
-        finally:
-            stop.set()
-            # Drain so the producer can exit.
-            while thread.is_alive():
-                try:
-                    out_q.get_nowait()
-                except queue.Empty:
-                    thread.join(timeout=0.1)
+        return _pump(produce, maxsize=self.prefetch)
