@@ -79,9 +79,11 @@ def _init_eval_variables(model):
 
 def test(image_file, images_dir, dataset, output_dir, weights, device,
          compiled_model, show=False, no_interactive=False, **other_args):
-    """--show opens each saved visualization; dataset mode pauses for ENTER
-    between images unless --no-interactive (reference's image-display
-    behavior, /root/reference/command_handlers/test.py:63-72,102)."""
+    """--show opens the visualization in single-image-file and dataset
+    modes; --images-dir never displays (the reference shows "only if a
+    single image file is specified", test.py:68-70).  Dataset mode pauses
+    for ENTER between images unless --no-interactive
+    (/root/reference/command_handlers/test.py:63-72,102)."""
     if not dataset:
         # Same FIXME as the reference (test.py:22-24): normalization settings
         # are not stored in weights; default to cityscapes.
@@ -98,7 +100,11 @@ def test(image_file, images_dir, dataset, output_dir, weights, device,
 
         for image_filename in tqdm(image_filenames, desc='TESTING', colour='yellow',
                                    position=0, leave=False):
-            with ImageOps.exif_transpose(Image.open(image_filename)) \
+            # The file handle needs its own `with`: the outer one only
+            # manages the .resize() result, and leaked descriptors add up
+            # over a large --images-dir sweep.
+            with Image.open(image_filename) as src, \
+                    ImageOps.exif_transpose(src) \
                     .convert('RGB') \
                     .resize(swapTupleValues(settings.MODEL_OUTPUT_SIZE), resample=Image.BILINEAR) as input_image:
                 arr = np.asarray(input_image, dtype=np.uint8)
@@ -135,7 +141,9 @@ def test(image_file, images_dir, dataset, output_dir, weights, device,
                                                     jnp.asarray(seg_u8)[None])
             with timethis(INFO("Inference required {:}.")):
                 sssr = forward(img_lo)
-                pred = np.asarray(argmax_lastdim(sssr[0]))
+                # np.array (copy): np.asarray returns jax's READ-ONLY host
+                # view and the ignore-label masking below writes in place.
+                pred = np.array(argmax_lastdim(sssr[0]))
 
             disp = np.asarray(img_hi[0]) * std + mean
             disp = np.clip(disp * 255.0, 0.0, 255.0).astype(np.uint8).transpose((2, 0, 1))

@@ -21,7 +21,9 @@ class AverageMeter:
         self.val = 0
         self.count = 0
         self._weighted_total = 0.0
-        self._mean = 0
+        # A never-updated meter answers nan (the documented contract), not a
+        # legitimate-looking 0.0.
+        self._mean = float('nan')
         self.dirty = False
 
     def update(self, val, n=1):

@@ -22,11 +22,18 @@ def _colorize_and_blend(class_map: jnp.ndarray, palette: jnp.ndarray,
     return colored.astype(jnp.uint8), overlay.astype(jnp.uint8)
 
 
-def colorize_class_map(class_map: np.ndarray, class_rgb_color: dict) -> np.ndarray:
-    """Map an (H, W) class-index array to an (H, W, 3) uint8 color image."""
+def _build_palette(class_rgb_color: dict) -> np.ndarray:
+    """(256, 3) uint8 lookup: class index (mod 256) -> RGB; unmapped
+    classes (incl. the 255 ignore label) stay black."""
     palette = np.zeros((256, 3), dtype=np.uint8)
     for cls, rgb in class_rgb_color.items():
         palette[cls % 256] = rgb
+    return palette
+
+
+def colorize_class_map(class_map: np.ndarray, class_rgb_color: dict) -> np.ndarray:
+    """Map an (H, W) class-index array to an (H, W, 3) uint8 color image."""
+    palette = _build_palette(class_rgb_color)
     out = np.asarray(jnp.take(jnp.asarray(palette), jnp.asarray(class_map, dtype=jnp.int32) % 256, axis=0))
     return out
 
@@ -43,9 +50,7 @@ def make_input_output_visualization(input_image: np.ndarray, output_map: np.ndar
     assert len(input_image.shape) == 3 and len(output_map.shape) == 2
     assert 0.0 < blend_factor < 1.0
 
-    palette = np.zeros((256, 3), dtype=np.uint8)
-    for cls, rgb in class_rgb_color.items():
-        palette[cls % 256] = rgb
+    palette = _build_palette(class_rgb_color)
 
     inp_hwc = np.ascontiguousarray(np.transpose(input_image.astype(np.uint8), (1, 2, 0)))
     colored, overlay = _colorize_and_blend(

@@ -68,14 +68,17 @@ _NEG = -1e30       # bias pad: exp(_NEG - m) == 0 exactly in f32
 
 
 def _row_tile(n: int) -> int:
-    """Largest sublane-aligned tile that divides the pixel count."""
-    r = min(_MAX_ROW_TILE, n)
-    while n % r:
-        r //= 2
-    if r < 8:
+    """Largest sublane-aligned (multiple-of-8) tile <= _MAX_ROW_TILE that
+    divides the pixel count — searched directly rather than by halving the
+    cap, so a non-power-of-two override (e.g. 768) still lands on the best
+    legal divisor of a power-of-two pixel count instead of collapsing."""
+    if n % 8:
         raise ValueError(
             "fused tail kernel needs pixel count divisible by 8, got {}".format(n))
-    return r
+    for r in range(min(_MAX_ROW_TILE, n) // 8 * 8, 0, -8):
+        if n % r == 0:
+            return r
+    return 8
 
 
 def _tile_logits_t(x, wp_ref, bp_ref):

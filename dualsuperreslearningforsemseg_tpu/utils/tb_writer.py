@@ -77,6 +77,10 @@ class SummaryWriter:
         arr = np.asarray(img_chw)
         if arr.ndim == 3 and arr.shape[0] in (1, 3):
             arr = np.transpose(arr, (1, 2, 0))
+        if arr.ndim == 3 and arr.shape[2] == 1:
+            # PIL cannot encode a trailing singleton channel — grayscale
+            # encodes as a 2-D 'L' image.
+            arr = arr[..., 0]
         buf = io.BytesIO()
         PILImage.fromarray(arr.astype(np.uint8)).save(buf, format='PNG')
         image = Summary.Image(height=arr.shape[0], width=arr.shape[1],

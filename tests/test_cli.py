@@ -124,6 +124,22 @@ def test_single_image(workdir, rng):
     assert out.shape == (oh, 3 * ow, 3)  # [input | seg | overlay]
 
 
+def test_dataset_split_mode(workdir):
+    """`test` WITHOUT --image-file/--images-dir walks the dataset val split
+    and writes [target | prediction] strips (reference test.py:74-116).
+    Regression: the in-place ignore-label masking crashed on jax's
+    read-only host view before commands/test.py copied the argmax."""
+    run_cli('test', '--dataset', 'cityscapes', 'val', '14', '--device', 'cpu',
+            '--weights', os.path.join('weights', 'stage1', 'final.weights'),
+            '--no-interactive')
+    out_name = os.path.join('outputs', '15.png')
+    assert os.path.isfile(out_name)
+    out = np.asarray(Image.open(out_name))
+    oh, ow = settings.MODEL_OUTPUT_SIZE
+    # two [input | seg | overlay] strips stacked target-over-prediction
+    assert out.shape == (2 * oh, 3 * ow, 3)
+
+
 def test_prune_weights_both_spellings(workdir):
     src = os.path.join('weights', 'stage3', 'final.weights')
     run_cli('prune-weights', '--src-weights', src, '--dest-weights', 'pruned.weights', '--yes')
