@@ -49,13 +49,28 @@ def compile_cache_dir(backend: str) -> str:
         # Any accelerator backend (tpu / the axon plugin name): device code,
         # host-independent.
         return '/tmp/dsrl_tpu_jax_cache'
+    # The key must cover everything LLVM derives host codegen from.  Flags
+    # alone are NOT enough: two hosts with identical cpuinfo flags but
+    # different family/model/stepping get different getHostCPUName() answers,
+    # and with them different *tuning* features (+prefer-no-scatter,
+    # +prefer-no-gather, -amx-avx512, ...) baked into the AOT entry — observed
+    # here as cross-loads that XLA only E-logs.  Hash the identity fields too.
     import hashlib
+    keys = ('vendor_id', 'cpu family', 'model', 'model name', 'stepping',
+            'microcode', 'flags')
+    ident = []
     try:
         with open('/proc/cpuinfo') as f:
-            flags = next(line for line in f if line.startswith('flags'))
-    except (OSError, StopIteration):
-        flags = platform.processor() or 'unknown'
-    tag = hashlib.md5(flags.encode()).hexdigest()[:10]
+            for line in f:
+                if not line.strip():
+                    break  # first processor block only
+                if line.split(':')[0].strip() in keys:
+                    ident.append(line.strip())
+    except OSError:
+        pass
+    if not ident:
+        ident = [platform.processor() or 'unknown']
+    tag = hashlib.md5('\n'.join(ident).encode()).hexdigest()[:10]
     return '/tmp/dsrl_tpu_jax_cache_cpu_' + tag
 
 

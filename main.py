@@ -55,7 +55,8 @@ def _select_platform(args):
         # Persistent compilation cache: TPU compiles are expensive (remote
         # tunnels especially); repeat invocations hit the cache.
         try:
-            jax.config.update('jax_compilation_cache_dir', '/tmp/dsrl_tpu_jax_cache')
+            from dualsuperreslearningforsemseg_tpu.utils.fsutil import compile_cache_dir
+            jax.config.update('jax_compilation_cache_dir', compile_cache_dir('tpu'))
             jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
         except Exception:
             pass
