@@ -73,11 +73,12 @@ def _retry(fn, what, attempts=3):
 def _init_host(model, input_hw, seed):
     import jax
     import jax.numpy as jnp
+    from dualsuperreslearningforsemseg_tpu.utils.fsutil import host_init_cache_guard
     rngs = {'params': jax.random.PRNGKey(seed), 'dropout': jax.random.PRNGKey(seed + 1)}
     x0 = jnp.zeros((1, *input_hw, 3), jnp.float32)
     try:
         cpu = jax.local_devices(backend='cpu')[0]
-        with jax.default_device(cpu):
+        with host_init_cache_guard(), jax.default_device(cpu):
             return jax.jit(model.init, static_argnums=(2,))(rngs, x0, False)
     except Exception:
         return model.init(rngs, x0, False)

@@ -18,8 +18,9 @@ def print_model(stage, dataset, **other_args):
     except Exception:
         cpu = None
     import contextlib
+    from ..utils.fsutil import host_init_cache_guard
     ctx = jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
-    with ctx:
+    with host_init_cache_guard(), ctx:
         print(nn.tabulate(model, {'params': jax.random.PRNGKey(0),
                                   'dropout': jax.random.PRNGKey(1)},
                           depth=3)(x, False))

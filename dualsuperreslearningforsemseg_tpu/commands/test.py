@@ -26,6 +26,7 @@ from ..models import DSRL, load_state_dict
 from ..ops.colorize import make_input_output_visualization
 from ..ops.resize import resize_bilinear_align_corners
 from ..utils import INFO, timethis, getFilesWithExtension, swapTupleValues
+from ..utils.fsutil import host_init_cache_guard
 
 
 def _build_forward(weights, dataset, compiled_model):
@@ -69,7 +70,7 @@ def _init_eval_variables(model):
     x = jnp.zeros((1, *settings.MODEL_INPUT_SIZE, 3), jnp.float32)
     try:
         cpu = jax.local_devices(backend='cpu')[0]
-        with jax.default_device(cpu):
+        with host_init_cache_guard(), jax.default_device(cpu):
             return jax.jit(model.init, static_argnums=(2,))(
                 {'params': jax.random.PRNGKey(0), 'dropout': jax.random.PRNGKey(1)}, x, False)
     except Exception:

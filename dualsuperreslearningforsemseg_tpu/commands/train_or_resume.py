@@ -50,6 +50,7 @@ from ..train import (sgd_init, make_train_step, make_eval_step, TrainState,
                      optimizer_state_dict, load_optimizer_state_dict)
 from ..utils import (INFO, CAUTION, FATAL, ConditionalContextManager,
                      makeSecondsPretty, prevent_system_sleep)
+from ..utils.fsutil import host_init_cache_guard
 from ..utils.tb_writer import SummaryWriter
 
 
@@ -67,7 +68,7 @@ def _init_model_host(model, input_hw, seed):
     rngs = {'params': jax.random.PRNGKey(seed), 'dropout': jax.random.PRNGKey(seed + 1)}
     cpu = _cpu_device()
     if cpu is not None:
-        with jax.default_device(cpu):
+        with host_init_cache_guard(), jax.default_device(cpu):
             return jax.jit(model.init, static_argnums=(2,))(rngs, x, False)
     return model.init(rngs, x, False)
 

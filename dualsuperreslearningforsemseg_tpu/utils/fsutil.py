@@ -1,5 +1,6 @@
 """Filesystem and misc helpers (parity: /root/reference/utils.py:193-260)."""
 
+import contextlib
 import ctypes
 import os
 import os.path
@@ -72,6 +73,31 @@ def compile_cache_dir(backend: str) -> str:
         ident = [platform.processor() or 'unknown']
     tag = hashlib.md5('\n'.join(ident).encode()).hexdigest()[:10]
     return '/tmp/dsrl_tpu_jax_cache_cpu_' + tag
+
+
+@contextlib.contextmanager
+def host_init_cache_guard():
+    """Disable the persistent compile cache around host-CPU param init.
+
+    A TPU process points the cache at the shared, host-independent directory
+    (TPU executables travel fine between hosts).  But initializing params on
+    the host CPU backend inside that process writes XLA:CPU *AOT machine
+    code* into the same directory — and a later run on a different host
+    loads it with mismatched ISA features (the cpu_aot_loader E-logs seen in
+    driver bench tails).  Host init is a handful of tiny kernels; skipping
+    the cache for them costs nothing and removes the hazard.  When the
+    active directory is already the host-keyed CPU one (CPU-only runs,
+    the test suite), caching is safe and left untouched."""
+    import jax
+    prev = jax.config.jax_compilation_cache_dir
+    if not prev or prev == compile_cache_dir('cpu'):
+        yield
+        return
+    jax.config.update('jax_compilation_cache_dir', None)
+    try:
+        yield
+    finally:
+        jax.config.update('jax_compilation_cache_dir', prev)
 
 
 def prevent_system_sleep():
