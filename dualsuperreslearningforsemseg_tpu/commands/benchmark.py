@@ -79,12 +79,19 @@ def benchmark(weights, dataset, device, num_workers, batch_size, **other_args):
         valid mask (drop_last=False cyclic shard duplicates) folds into the
         batch-padding mask so no sample is double-counted."""
         imgs_u8, segs_u8, valid = batch
-        n = int(valid.sum())
         imgs_u8, segs_u8, mask = pad_batch_to_shards(imgs_u8, segs_u8,
                                                      n_shards, valid)
         return (jax.make_array_from_process_local_data(sharding, imgs_u8),
                 jax.make_array_from_process_local_data(sharding3, segs_u8),
-                jax.make_array_from_process_local_data(sharding1, mask), n)
+                jax.make_array_from_process_local_data(sharding1, mask))
+
+    # Per-batch GLOBAL valid-image count as a replicated device scalar: the
+    # local count would mis-weight the (global) per-batch CE mean and
+    # undercount throughput by ~process_count on multi-process meshes, and
+    # the sharded mask itself is not fetchable from one process.
+    from jax.sharding import NamedSharding, PartitionSpec
+    count_valid = jax.jit(lambda m: m.sum(),
+                          out_shardings=NamedSharding(mesh, PartitionSpec()))
 
     # Per-batch results stay ON DEVICE until the loop ends: fetching (or
     # float()-ing) inside the loop would drain the dispatch queue every
@@ -92,14 +99,15 @@ def benchmark(weights, dataset, device, num_workers, batch_size, **other_args):
     pending = []
     with tqdm(total=len(loader), desc='BENCHMARKING', colour='yellow',
               position=0, leave=False, bar_format=settings.PROGRESSBAR_FORMAT) as progressbar:
-        for imgs_dev, segs_dev, mask_dev, n in DevicePrefetcher(loader, stage_batch):
+        for imgs_dev, segs_dev, mask_dev in DevicePrefetcher(loader, stage_batch):
             (img_lo, img_hi), (seg_hi, _) = eval_fn(imgs_dev, segs_dev)
             losses, _, hists, acc = eval_step(params, batch_stats,
                                               img_lo, img_hi, seg_hi, mask_dev)
-            pending.append((losses['CE'], hists, acc, n))
-            n_images += n
+            pending.append((losses['CE'], hists, acc, count_valid(mask_dev)))
             progressbar.update()
-    for ce, hists, acc, n in pending:
+    for ce, hists, acc, n_dev in pending:
+        n = int(jax.device_get(n_dev))
+        n_images += n
         CE_avg_loss.update(float(ce), n)
         miou.update_from_areas(*jax.device_get(hists))
         accuracy_mean.update_from_counts(*[int(v) for v in jax.device_get(acc)])

@@ -203,16 +203,15 @@ def train_or_resume(is_resuming_training, device, distributed, mixed_precision,
     # with device compute; the device applies only elementwise photometric ops
     # and matmul resizes.  The all-device warp is the fallback (its dynamic
     # gathers cost ~320 ms/step on TPU — see data/augment.py docstrings).
-    from ..data.native import get_lib, native_available
+    from ..data.native import native_available, has_g16_labels
     from ..data import make_host_warp_transform, make_device_post_fn
     host_transform = None
     if native_available():
         # emit_position_labels: the decode threads also lay out the fused
-        # tail kernel's label operand (see data/native.py).  get_lib()'s ABI
-        # check guarantees the symbol; the hasattr gate keeps a future
-        # feature-skew from killing the decode threads mid-train.
-        emit_positions = (not dry_run
-                          and hasattr(get_lib(), 'dp_labels_g16_t'))
+        # tail kernel's label operand (see data/native.py).  The symbol is
+        # optional (v4): a stale-but-usable library keeps decode+warp and the
+        # train step builds the layout in-graph instead (~7 ms/step).
+        emit_positions = not dry_run and has_g16_labels()
         host_transform = make_host_warp_transform(aug_cfg, ds_settings.LABEL_MAPPING_LUT,
                                                   settings.RANDOM_SEED,
                                                   emit_position_labels=emit_positions)

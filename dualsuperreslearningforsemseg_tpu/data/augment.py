@@ -308,16 +308,23 @@ def make_host_warp_transform(cfg: AugmentConfig, label_lut: np.ndarray, seed: in
     when XLA builds it next to the pallas consumer)."""
     from .native import warp_pair_batch, labels_g16_t
 
+    # The Loader calls set_native_threads() with its per-worker core budget
+    # (cores // num_workers): this transform runs INSIDE the decode pool, so
+    # letting the native calls take their standalone default (min(8, cores))
+    # would spawn num_workers x default threads and thrash the host CPUs.
+    state = {'threads': None}
+
     def transform(epoch, batch_index, imgs_u8, segs_u8):
         r = np.random.default_rng(np.random.SeedSequence([seed, epoch, batch_index]))
         mats = sample_affine_matrices_np(r, imgs_u8.shape[0], imgs_u8.shape[1:3],
                                          cfg.output_hw, cfg)
         imgs_w, segs_w = warp_pair_batch(imgs_u8, segs_u8, mats, cfg.output_hw,
-                                         lut=label_lut)
+                                         lut=label_lut, threads=state['threads'])
         if not emit_position_labels:
             return imgs_w, segs_w
-        return imgs_w, segs_w, labels_g16_t(segs_w)
+        return imgs_w, segs_w, labels_g16_t(segs_w, threads=state['threads'])
 
+    transform.set_native_threads = lambda n: state.__setitem__('threads', n)
     return transform
 
 

@@ -22,13 +22,18 @@ _lib = None
 _lib_lock = threading.Lock()
 _warned = False
 
-# Must match dp_version() in native/dataplane.cpp.  get_lib() refuses (and
-# rebuilds) any .so reporting an older version, so a stale library left in the
-# tree can never advertise features it lacks — callers that see
-# native_available() may rely on every symbol below existing.
+# Must match dp_version() in native/dataplane.cpp.  A stale .so triggers a
+# rebuild; if the rebuild fails (no toolchain on this host), a lib whose CORE
+# ABI is intact still loads so decode+warp keep running at native speed —
+# only the optional v4 label-plane feature degrades (its in-graph fallback in
+# train/steps.py costs ~7 ms/step, vs ~320 ms/step for losing the whole warp
+# path).  Callers must gate optional symbols via has_g16_labels(), never
+# assume them from native_available().
 _EXPECTED_VERSION = 4
-_REQUIRED_SYMBOLS = ('dp_version', 'dp_decode_png', 'dp_decode_pair_batch',
-                     'dp_warp_pair_batch', 'dp_labels_g16_t')
+# Core ABI, unchanged since v2 (decode + affine warp).
+_MIN_CORE_VERSION = 2
+_CORE_SYMBOLS = ('dp_version', 'dp_decode_png', 'dp_decode_pair_batch',
+                 'dp_warp_pair_batch')
 
 
 def _try_build():
@@ -51,16 +56,19 @@ def _dlclose(lib):
 
 
 def _load_and_check():
-    """CDLL the .so and validate ABI; returns the bound lib or None if stale."""
+    """CDLL the .so and validate the core ABI; returns the bound lib or None.
+
+    Optional features (dp_labels_g16_t, v4) are bound when present; callers
+    check has_g16_labels()."""
     try:
         lib = ctypes.CDLL(_SO_PATH)
     except OSError:
         return None
-    if not all(hasattr(lib, s) for s in _REQUIRED_SYMBOLS):
+    if not all(hasattr(lib, s) for s in _CORE_SYMBOLS):
         _dlclose(lib)
         return None
     lib.dp_version.restype = ctypes.c_int
-    if lib.dp_version() < _EXPECTED_VERSION:
+    if lib.dp_version() < _MIN_CORE_VERSION:
         _dlclose(lib)
         return None
     lib.dp_decode_png.restype = ctypes.c_int
@@ -81,22 +89,44 @@ def _load_and_check():
         ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_char_p, ctypes.c_int]
-    lib.dp_labels_g16_t.restype = ctypes.c_int
-    lib.dp_labels_g16_t.argtypes = [
-        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
+    if hasattr(lib, 'dp_labels_g16_t'):  # optional, v4
+        lib.dp_labels_g16_t.restype = ctypes.c_int
+        lib.dp_labels_g16_t.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
     return lib
 
 
+def _is_current(lib) -> bool:
+    return lib is not None and lib.dp_version() >= _EXPECTED_VERSION
+
+
 def get_lib():
-    """The loaded native library, or None if unavailable."""
+    """The loaded native library, or None if unavailable.
+
+    A stale-but-core-intact library triggers a rebuild attempt; if the
+    rebuild fails the stale library is still used (decode+warp at native
+    speed, optional features gated off) rather than dropping the whole
+    data plane to the PIL fallback."""
     global _lib, _warned
     with _lib_lock:
         if _lib is not None:
             return _lib if _lib is not False else None
         lib = _load_and_check() if os.path.isfile(_SO_PATH) else None
-        if lib is None and _try_build():
-            lib = _load_and_check()
+        if not _is_current(lib):
+            if lib is not None:
+                _dlclose(lib)
+                lib = None
+            if _try_build():
+                lib = _load_and_check()
+            elif os.path.isfile(_SO_PATH):
+                lib = _load_and_check()  # fall back to the stale core ABI
+                if lib is not None and not _warned:
+                    print(CAUTION("Native data plane is stale (v{} < v{}) and "
+                                  "would not rebuild; using its core decode/"
+                                  "warp path with newer features disabled."
+                                  .format(lib.dp_version(), _EXPECTED_VERSION)))
+                    _warned = True
         if lib is None:
             if not _warned:
                 print(CAUTION("Native data plane unavailable (no toolchain, or "
@@ -111,6 +141,12 @@ def get_lib():
 
 def native_available() -> bool:
     return get_lib() is not None
+
+
+def has_g16_labels() -> bool:
+    """True when the loaded library exports the optional v4 label plane."""
+    lib = get_lib()
+    return lib is not None and hasattr(lib, 'dp_labels_g16_t')
 
 
 def _default_threads():

@@ -176,6 +176,10 @@ class Loader:
         cores = os.cpu_count() or 4
         self.num_workers = max(1, min(num_workers, cores))
         self.native_threads = max(1, cores // self.num_workers)
+        # The transform runs inside the same pool: hand it the per-worker
+        # budget so its own native calls don't multiply it back up.
+        if host_transform is not None and hasattr(host_transform, 'set_native_threads'):
+            host_transform.set_native_threads(self.native_threads)
         self.prefetch = prefetch
         self.epoch = 0
         # Native C++ batch decode (threaded libpng) when the dataset exposes

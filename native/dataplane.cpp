@@ -17,8 +17,18 @@
 //   dp_labels_g16_t(segs, n, oh, ow, out, threads) -> 0/err
 //                                         (fused-tail label layout)
 
-#include <libdeflate.h>
+// DP_FORCE_ZLIB compile-checks the fallback branch on hosts that do have
+// libdeflate (`make check-zlib-fallback`).
+#if !defined(DP_FORCE_ZLIB) && defined(__has_include)
+#  if __has_include(<libdeflate.h>)
+#    define DP_HAVE_LIBDEFLATE 1
+#  endif
+#endif
+#ifdef DP_HAVE_LIBDEFLATE
+#include <libdeflate.h>  // ~2x faster inflate than zlib; optional
+#endif
 #include <png.h>
+#include <zlib.h>  // inflate fallback + crc32 (always linked via libpng)
 #if defined(__SSE4_1__)
 #include <immintrin.h>
 #endif
@@ -270,6 +280,13 @@ bool decode_png_fast(const char* path, uint8_t* out, size_t out_cap,
     size_t data = pos + 8;
     if (data + len + 4 > file.size()) break;  // truncated
     if (std::memcmp(type, "IHDR", 4) == 0 && len >= 13) {
+      // IHDR fields steer buffer geometry, so verify this one chunk's CRC
+      // (covers type + data); pixel-data integrity is the zlib adler32's
+      // job (see the inflate call below).
+      if (crc32(crc32(0, type, 4), &file[data], len) != be32(&file[data + len])) {
+        res->error = 2;
+        return true;
+      }
       width = be32(&file[data]);
       height = be32(&file[data + 4]);
       bit_depth = file[data + 8];
@@ -315,6 +332,11 @@ bool decode_png_fast(const char* path, uint8_t* out, size_t out_cap,
 
   const size_t raw_size = (rowbytes + 1) * height;  // +1 filter byte per row
   std::vector<uint8_t> raw(raw_size);
+  // Integrity: the zlib container's adler32 (verified by both inflaters
+  // below) covers every pixel byte, so per-chunk IDAT CRCs add no coverage
+  // and are skipped; IHDR's CRC IS checked above because its fields steer
+  // the unfilter geometry and are not under the adler.
+#ifdef DP_HAVE_LIBDEFLATE
   libdeflate_decompressor* dec = libdeflate_alloc_decompressor();
   size_t actual = 0;
   libdeflate_result zr = libdeflate_zlib_decompress(
@@ -324,11 +346,24 @@ bool decode_png_fast(const char* path, uint8_t* out, size_t out_cap,
     res->error = 3;
     return true;
   }
+#else
+  uLongf actual = raw_size;
+  uLong srclen = idat_total;
+  if (uncompress2(raw.data(), &actual, zsrc, &srclen) != Z_OK ||
+      actual != raw_size) {
+    res->error = 3;
+    return true;
+  }
+#endif
 
   // Unfilter each row straight into the output buffer.
   const uint8_t* prev = nullptr;
   for (uint32_t y = 0; y < height; ++y) {
     const uint8_t* src = &raw[(rowbytes + 1) * y];
+    if (src[0] > 4) {  // malformed filter byte: reject, don't emit garbage
+      res->error = 5;
+      return true;
+    }
     uint8_t* dst = out + rowbytes * y;
     std::memcpy(dst, src + 1, rowbytes);
     unfilter_row(src[0], dst, prev, rowbytes, channels);

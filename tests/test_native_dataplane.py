@@ -171,6 +171,37 @@ def test_stale_abi_rejected(tmp_path):
         native_mod._SO_PATH = orig
 
 
+def test_stale_core_abi_degrades_not_drops(tmp_path, monkeypatch, capsys):
+    """A stale .so whose CORE ABI is intact (v>=2, decode+warp symbols) must
+    keep serving the data plane when a rebuild is impossible — only the
+    optional v4 label plane gates off (has_g16_labels() False).  Losing the
+    whole warp path to a version bump would cost ~320 ms/step on TPU."""
+    import subprocess
+    from dualsuperreslearningforsemseg_tpu.data import native as native_mod
+    src = tmp_path / 'stale_core.cpp'
+    src.write_text(
+        'extern "C" int dp_version() { return 3; }\n'
+        'extern "C" int dp_decode_png() { return -1; }\n'
+        'extern "C" int dp_decode_pair_batch() { return -1; }\n'
+        'extern "C" int dp_warp_pair_batch() { return -1; }\n')
+    so = tmp_path / 'stale_core.so'
+    subprocess.run(['g++', '-shared', '-fPIC', str(src), '-o', str(so)],
+                   check=True)
+    monkeypatch.setattr(native_mod, '_SO_PATH', str(so))
+    monkeypatch.setattr(native_mod, '_try_build', lambda: False)
+    monkeypatch.setattr(native_mod, '_lib', None)
+    monkeypatch.setattr(native_mod, '_warned', False)
+    try:
+        assert native_mod.native_available()
+        assert not native_mod.has_g16_labels()
+        assert 'stale' in capsys.readouterr().out
+    finally:
+        lib = native_mod._lib
+        native_mod._lib = None
+        if lib not in (None, False):
+            native_mod._dlclose(lib)
+
+
 def test_loader_surfaces_producer_errors(tree):
     """A failing host_transform must raise in the consumer, not hang."""
     ds = CityscapesDataset(tree, split='train')
