@@ -241,9 +241,13 @@ def _train_throughput_with_loader(stage, tree_images=96):
                                  weight_decay=0.0005,
                                  ignore_label=cs.IGNORE_CLASS_LABEL, mesh=mesh,
                                  post_fn=make_device_post_fn(aug_cfg, dtype=jnp.bfloat16))
+    # Gate the v4 label plane on has_g16_labels(), not native_available():
+    # a stale-but-core-intact .so decodes and warps natively but lacks
+    # dp_labels_g16_t, and the train step falls back to the in-graph layout.
+    from dualsuperreslearningforsemseg_tpu.data.native import has_g16_labels
     host_transform = make_host_warp_transform(aug_cfg, cs.LABEL_MAPPING_LUT,
                                               settings.RANDOM_SEED,
-                                              emit_position_labels=True)
+                                              emit_position_labels=has_g16_labels())
     global_batch = BATCH * n_chips
 
     # Host-side cost accounting (min over reps filters VM scheduling noise).
@@ -443,7 +447,10 @@ def main():
 
     import jax
     try:
-        jax.config.update('jax_compilation_cache_dir', '/tmp/dsrl_tpu_jax_cache')
+        # Share the CLI's persistent accelerator cache (fsutil keys CPU
+        # caches by host identity; the accelerator dir is shared-safe).
+        from dualsuperreslearningforsemseg_tpu.utils.fsutil import compile_cache_dir
+        jax.config.update('jax_compilation_cache_dir', compile_cache_dir('tpu'))
         jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
     except Exception:
         pass

@@ -565,7 +565,6 @@ def _val_epoch(state, eval_step, loader, eval_fn, mesh, epoch, stage, master,
             # drop_last=False: the Loader also yields its per-sample valid
             # mask (cyclic shard-padding duplicates, pipeline.ShardedSampler).
             imgs_u8, segs_u8, valid = batch
-            n = int(valid.sum())
             # Pad ragged final batches up to the shard count; the sample mask
             # (shard duplicates AND batch padding) removes masked rows from
             # every loss/metric (steps.make_eval_step).  The mask is
@@ -576,26 +575,36 @@ def _val_epoch(state, eval_step, loader, eval_fn, mesh, epoch, stage, master,
                                                          n_shards, valid)
             return (jax.make_array_from_process_local_data(sharding, imgs_u8),
                     jax.make_array_from_process_local_data(sharding3, segs_u8),
-                    jax.make_array_from_process_local_data(sharding1, mask), n)
+                    jax.make_array_from_process_local_data(sharding1, mask))
+
+        # Per-batch GLOBAL valid-image count as a replicated device scalar
+        # (same rationale as commands/benchmark.py): each process's local
+        # count differs on the ragged final batch, so weighting the (global)
+        # masked per-batch loss means by it would give every process a
+        # differently mis-weighted epoch average — and the early-stopping /
+        # bestval bookkeeping feeds off these numbers.
+        count_valid = jax.jit(lambda m: m.sum(),
+                              out_shardings=NamedSharding(mesh, P()))
 
         # Per-batch results stay ON DEVICE until the pass ends: a device_get
         # inside the loop drains the dispatch queue between batches (the
         # pending payload is 4 scalars + three 19-vectors + 2 counts each).
         pending = []
-        for i, (imgs_dev, segs_dev, mask_dev, n) in enumerate(
+        for i, (imgs_dev, segs_dev, mask_dev) in enumerate(
                 DevicePrefetcher(loader, stage_val_batch)):
             (img_lo, img_hi), (seg_hi, _) = eval_fn(imgs_dev, segs_dev)
             losses, pred, hists, acc = eval_step(state.params, state.batch_stats,
                                                  img_lo, img_hi, seg_hi, mask_dev)
-            pending.append((losses, hists, acc, n))
+            pending.append((losses, hists, acc, count_valid(mask_dev)))
 
             if master:
                 progressbar.update()
                 if i == example_index:
                     _log_example_image(logger, img_hi, pred, ds_settings, epoch)
 
-    for losses, hists, acc, n in pending:
+    for losses, hists, acc, n_dev in pending:
         host = jax.device_get(losses)
+        n = int(jax.device_get(n_dev))
         CE_avg.update(float(host['CE']), n)
         MSE_avg.update(float(host['MSE']), n)
         FA_avg.update(float(host['FA']), n)

@@ -36,10 +36,15 @@ _CORE_SYMBOLS = ('dp_version', 'dp_decode_png', 'dp_decode_pair_batch',
                  'dp_warp_pair_batch')
 
 
-def _try_build():
+def _try_build(force=False):
+    # force=True remakes unconditionally (make -B): a stale .so copied in
+    # with an mtime newer than dataplane.cpp turns the plain `make` into a
+    # no-op.  On a failed relink make leaves the old .so in place, so the
+    # stale-core fallback below still works.
+    cmd = ['make', '-B', '-C', _NATIVE_DIR] if force else \
+          ['make', '-C', _NATIVE_DIR]
     try:
-        subprocess.run(['make', '-C', _NATIVE_DIR], check=True,
-                       capture_output=True, timeout=120)
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return True
     except Exception:
         return False
@@ -119,14 +124,21 @@ def get_lib():
                 lib = None
             if _try_build():
                 lib = _load_and_check()
-            elif os.path.isfile(_SO_PATH):
+            if not _is_current(lib) and lib is not None:
+                # The plain make may have no-op'd against a newer-mtime
+                # stale .so; remake unconditionally before settling.
+                _dlclose(lib)
+                lib = None
+            if lib is None and _try_build(force=True):
+                lib = _load_and_check()
+            if lib is None and os.path.isfile(_SO_PATH):
                 lib = _load_and_check()  # fall back to the stale core ABI
-                if lib is not None and not _warned:
-                    print(CAUTION("Native data plane is stale (v{} < v{}) and "
-                                  "would not rebuild; using its core decode/"
-                                  "warp path with newer features disabled."
-                                  .format(lib.dp_version(), _EXPECTED_VERSION)))
-                    _warned = True
+            if lib is not None and not _is_current(lib) and not _warned:
+                print(CAUTION("Native data plane is stale (v{} < v{}) and "
+                              "would not rebuild; using its core decode/"
+                              "warp path with newer features disabled."
+                              .format(lib.dp_version(), _EXPECTED_VERSION)))
+                _warned = True
         if lib is None:
             if not _warned:
                 print(CAUTION("Native data plane unavailable (no toolchain, or "

@@ -188,13 +188,63 @@ def test_stale_core_abi_degrades_not_drops(tmp_path, monkeypatch, capsys):
     subprocess.run(['g++', '-shared', '-fPIC', str(src), '-o', str(so)],
                    check=True)
     monkeypatch.setattr(native_mod, '_SO_PATH', str(so))
-    monkeypatch.setattr(native_mod, '_try_build', lambda: False)
+    monkeypatch.setattr(native_mod, '_try_build', lambda force=False: False)
     monkeypatch.setattr(native_mod, '_lib', None)
     monkeypatch.setattr(native_mod, '_warned', False)
     try:
         assert native_mod.native_available()
         assert not native_mod.has_g16_labels()
         assert 'stale' in capsys.readouterr().out
+    finally:
+        lib = native_mod._lib
+        native_mod._lib = None
+        if lib not in (None, False):
+            native_mod._dlclose(lib)
+
+
+def test_noop_make_forces_rebuild(tmp_path, monkeypatch, capsys):
+    """A stale .so with an mtime NEWER than dataplane.cpp makes the plain
+    `make` a successful no-op; get_lib must not silently adopt the stale
+    library then — it retries with an unconditional remake (make -B) and
+    picks up the current ABI."""
+    import subprocess
+    from dualsuperreslearningforsemseg_tpu.data import native as native_mod
+    stale_src = tmp_path / 'stale_core.cpp'
+    stale_src.write_text(
+        'extern "C" int dp_version() { return 3; }\n'
+        'extern "C" int dp_decode_png() { return -1; }\n'
+        'extern "C" int dp_decode_pair_batch() { return -1; }\n'
+        'extern "C" int dp_warp_pair_batch() { return -1; }\n')
+    current_src = tmp_path / 'current.cpp'
+    current_src.write_text(
+        'extern "C" int dp_version() {{ return {}; }}\n'
+        'extern "C" int dp_decode_png() {{ return -1; }}\n'
+        'extern "C" int dp_decode_pair_batch() {{ return -1; }}\n'
+        'extern "C" int dp_warp_pair_batch() {{ return -1; }}\n'
+        'extern "C" int dp_labels_g16_t() {{ return -1; }}\n'
+        .format(native_mod._EXPECTED_VERSION))
+    so = tmp_path / 'plane.so'
+    subprocess.run(['g++', '-shared', '-fPIC', str(stale_src), '-o', str(so)],
+                   check=True)
+
+    calls = []
+
+    def fake_build(force=False):
+        calls.append(force)
+        if force:  # the -B remake actually rebuilds
+            subprocess.run(['g++', '-shared', '-fPIC', str(current_src),
+                            '-o', str(so)], check=True)
+        return True  # plain make exits 0 either way (no-op)
+
+    monkeypatch.setattr(native_mod, '_SO_PATH', str(so))
+    monkeypatch.setattr(native_mod, '_try_build', fake_build)
+    monkeypatch.setattr(native_mod, '_lib', None)
+    monkeypatch.setattr(native_mod, '_warned', False)
+    try:
+        assert native_mod.native_available()
+        assert native_mod.has_g16_labels()
+        assert calls == [False, True]
+        assert 'stale' not in capsys.readouterr().out
     finally:
         lib = native_mod._lib
         native_mod._lib = None
