@@ -291,7 +291,8 @@ class DSRL(nn.Module):
 
             sisr_output = sssr_t = sisr_t = None
             if self.stage > 1:
-                sisr_output = SISRDecoder(dtype=self.dtype, name='SISR_decoder')(cat_features, grouped)
+                sisr_decoder = SISRDecoder(dtype=self.dtype, name='SISR_decoder')
+                sisr_output = sisr_decoder(cat_features, grouped)
                 if self.stage > 2:
                     if grouped:
                         # fa_corner IS the stride-8 sampling of the full-res
@@ -299,8 +300,12 @@ class DSRL(nn.Module):
                         sssr_t = FeatureTransformer(dtype=self.dtype, stride=1,
                                                     name='SSSR_feature_transformer')(fa_corner, train, freeze_bn)
                         # stride-8 sampling of the full-res SISR RGB == the
-                        # (i, j) = (0, 0) pre-shuffle channels [0, r*r, 2*r*r].
-                        sisr_strided = sisr_output[..., ::64]
+                        # (i, j) = (0, 0) pre-shuffle channels [0, r*r, 2*r*r]
+                        # — an identity that needs the transformer's stride
+                        # (8) to equal the decoder's upscale factor.
+                        assert sisr_decoder.upscale_factor == 8, \
+                            "grouped FA feed assumes SISR upscale_factor == 8"
+                        sisr_strided = sisr_output[..., ::sisr_decoder.upscale_factor ** 2]
                         sisr_t = FeatureTransformer(dtype=self.dtype, stride=1,
                                                     name='SISR_feature_transformer')(sisr_strided, train, freeze_bn)
                     else:

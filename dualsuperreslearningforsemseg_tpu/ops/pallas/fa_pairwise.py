@@ -86,6 +86,12 @@ def fa_allpairs_abs_sum_rows(a, b, interpret=False):
 
 
 def _fwd_impl(a, b, interpret):
+    if a.shape[1] % _J_TILE:
+        # The j-loop walks N // _J_TILE full tiles: a ragged N would drop
+        # tail columns from the sum and leave db's tail columns as
+        # uninitialized VMEM in the backward — silent corruption, so refuse.
+        raise ValueError("fa_allpairs_abs_sum_rows requires N % {} == 0, "
+                         "got {}".format(_J_TILE, a.shape[1]))
     a = a.astype(jnp.float32)
     b = b.astype(jnp.float32)
     a, rows = _pad_rows(a)

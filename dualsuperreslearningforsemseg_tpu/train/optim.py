@@ -17,7 +17,6 @@ consumers; names are more robust than indices).
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..models.state_dict import flatten_variables
 
@@ -43,14 +42,12 @@ def sgd_update(params, grads, momentum_buffers, lr, momentum, weight_decay):
 
 
 def optimizer_state_dict(momentum_buffers, learning_rate, momentum, weight_decay):
+    # Momentum buffers share the params' layout, so they export through the
+    # same rename/transpose as the model state dict (single source of truth).
+    from ..models.state_dict import _to_torch_name_and_array
     flat = flatten_variables({'params': momentum_buffers})
-    buffers = {}
-    for key, value in flat.items():
-        arr = np.asarray(value)
-        if key.endswith('.kernel'):
-            key = key[:-len('.kernel')] + '.weight'
-            arr = np.transpose(arr, (3, 2, 0, 1))
-        buffers[key] = arr
+    buffers = dict(_to_torch_name_and_array(key, value)
+                   for key, value in flat.items())
     return {'momentum_buffers': buffers,
             'hyperparameters': {'learning_rate': learning_rate,
                                 'momentum': momentum,

@@ -99,7 +99,19 @@ def make_train_step(model, stage: int, w1: float, w2: float, momentum: float,
             b, h, w = seg.shape
             sssr = jax.random.normal(rng, (b, h, w, num_classes))
             sisr = jax.random.normal(rng, img_hi.shape) if stage > 1 else None
-            sssr_t = sisr_t = None
+            if stage > 2:
+                # The reference's dry-run synthesizes transformer outputs and
+                # still computes FA on them (train_or_resume.py:422-423), but
+                # its hardcoded (B,1,2,2) shape crashes FALoss's AvgPool2d(8)
+                # — stage-3 --dry-run never worked there.  Deviation: we
+                # synthesize the REAL transformer-output shape (output/8,
+                # matching FeatureTransformer's 1x1 stride-8) so the FA
+                # boilerplate actually exercises.
+                k1, k2 = jax.random.split(jax.random.fold_in(rng, 1))
+                sssr_t = jax.random.normal(k1, (b, h // 8, w // 8, 1))
+                sisr_t = jax.random.normal(k2, (b, h // 8, w // 8, 1))
+            else:
+                sssr_t = sisr_t = None
             new_stats = batch_stats
         else:
             # train=True with BN frozen still runs in train mode for dropout;
@@ -109,13 +121,13 @@ def make_train_step(model, stage: int, w1: float, w2: float, momentum: float,
             # loss value is mathematically identical.  Under fused_tail the
             # model returns the pre-ConvT activation instead of logits.
             outs, mutated = model.apply(
-                variables, img_lo, True, freeze_batch_norm, grouped and not dry_run,
+                variables, img_lo, True, freeze_batch_norm, grouped,
                 use_fused_tail, rngs={'dropout': rng}, mutable=['batch_stats'])
             sssr, sisr, sssr_t, sisr_t = outs
             new_stats = mutated['batch_stats']
 
         seg_full = seg
-        if grouped and not dry_run:
+        if grouped and not dry_run:  # dry-run logits are ungrouped full-res
             from ..ops.conv import group_labels, pixel_unshuffle
             if not use_fused_tail:
                 # The fused tail reads labels straight from the full-res map
@@ -201,6 +213,12 @@ def make_eval_step(model, stage: int, w1: float, w2: float, num_classes: int,
             key = jax.random.PRNGKey(0)
             sssr = jax.random.normal(key, (b, h, w, num_classes))
             sisr = jax.random.normal(key, img_hi.shape) if stage > 1 else None
+            # Synthesized transformer outputs at their real shape (output/8),
+            # like the reference's dry-run intent (train_or_resume.py:422-423;
+            # its (B,1,2,2) literal crashes FALoss's AvgPool2d(8) — not
+            # replicated), so stage-3 FA still exercises.
+            sssr_t = jax.random.normal(key, (b, h // 8, w // 8, 1))
+            sisr_t = jax.random.normal(jax.random.fold_in(key, 1), (b, h // 8, w // 8, 1))
             ce = cross_entropy_loss(sssr, seg, ignore_label)
             pred = argmax_lastdim(sssr)
         else:
@@ -230,7 +248,7 @@ def make_eval_step(model, stage: int, w1: float, w2: float, num_classes: int,
             mse = w1 * jnp.sum(per_sample_mse * sample_mask) / jnp.maximum(sample_mask.sum(), 1)
         else:
             mse = jnp.float32(0)
-        if stage > 2 and not dry_run:
+        if stage > 2:
             # FA averages per (batch, channel) slice; reweight by sample mask.
             fa = w2 * _fa_masked(sssr_t, sisr_t, sample_mask)
         else:

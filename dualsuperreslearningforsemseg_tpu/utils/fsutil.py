@@ -37,6 +37,79 @@ def check_version(version, major, minor):
     return (version[0], version[1]) >= (major, minor)
 
 
+def _live_cpuid_identity():
+    """Raw CPUID dump read at RUNTIME — the same source LLVM's
+    getHostCPUName()/getHostCPUFeatures() use for host codegen.
+
+    /proc/cpuinfo is a BOOT-TIME snapshot: after a live VM migration it
+    still describes the original physical host while the cpuid instruction
+    answers for the new one, so two machines can present identical cpuinfo
+    yet get different LLVM tuning (+prefer-no-gather, ...) — observed here
+    as a cpu_aot_loader feature-mismatch E-log from a cache directory keyed
+    by cpuinfo alone.  Executes cpuid/xgetbv from a tiny mmap'd code page;
+    returns b'' off x86_64 or when W^X policy blocks the page.
+    """
+    if platform.machine() != 'x86_64':
+        return b''
+    try:
+        import mmap
+        # SysV x86-64: void f(uint32_t out[5], uint32_t leaf, uint32_t sub)
+        #   rdi = out, esi = leaf, edx = subleaf
+        cpuid_code = (
+            b"\x53"                  # push %rbx
+            b"\x89\xf0"              # mov  %esi,%eax
+            b"\x89\xd1"              # mov  %edx,%ecx
+            b"\x0f\xa2"              # cpuid
+            b"\x89\x07"              # mov  %eax,(%rdi)
+            b"\x89\x5f\x04"          # mov  %ebx,0x4(%rdi)
+            b"\x89\x4f\x08"          # mov  %ecx,0x8(%rdi)
+            b"\x89\x57\x0c"          # mov  %edx,0xc(%rdi)
+            b"\x5b"                  # pop  %rbx
+            b"\xc3")                 # ret
+        # void g(uint32_t out[2]): xgetbv(0) — OS-enabled AVX/AVX512 state,
+        # the other half of LLVM's feature detection.
+        xgetbv_code = (
+            b"\x31\xc9"              # xor  %ecx,%ecx
+            b"\x0f\x01\xd0"          # xgetbv
+            b"\x89\x07"              # mov  %eax,(%rdi)
+            b"\x89\x57\x04"          # mov  %edx,0x4(%rdi)
+            b"\xc3")                 # ret
+        buf = mmap.mmap(-1, mmap.PAGESIZE,
+                        prot=mmap.PROT_READ | mmap.PROT_WRITE | mmap.PROT_EXEC)
+        buf.write(cpuid_code)
+        xgetbv_off = len(cpuid_code)
+        buf.seek(xgetbv_off)
+        buf.write(xgetbv_code)
+        base = ctypes.addressof(ctypes.c_char.from_buffer(buf))
+        cpuid = ctypes.CFUNCTYPE(None, ctypes.POINTER(ctypes.c_uint32),
+                                 ctypes.c_uint32, ctypes.c_uint32)(base)
+        xgetbv = ctypes.CFUNCTYPE(None, ctypes.POINTER(ctypes.c_uint32))(
+            base + xgetbv_off)
+        out = (ctypes.c_uint32 * 4)()
+        dump = []
+        # Identity + feature leaves LLVM consults: basic 0/1/7(0,1)/0xD(0,1),
+        # extended 0x80000001/6/8 (name string leaves 2..4 excluded — the
+        # marketing string is already in cpuinfo and can carry per-VM noise).
+        for leaf, sub in ((0, 0), (1, 0), (7, 0), (7, 1),
+                          (0xD, 0), (0xD, 1),
+                          (0x80000000, 0), (0x80000001, 0), (0x80000008, 0)):
+            cpuid(out, leaf, sub)
+            regs = list(out)
+            if leaf == 1:
+                # EBX[31:24] is the initial APIC ID of the executing core —
+                # per-core noise that would splinter the key on one host.
+                regs[1] &= 0x00FFFFFF
+            dump.append((leaf, sub) + tuple(regs))
+        xcr = (ctypes.c_uint32 * 2)()
+        if dump[1][2 + 2] & (1 << 27):  # leaf1 ECX.OSXSAVE: xgetbv is legal
+            xgetbv(xcr)
+        dump.append(('xcr0', tuple(xcr)))
+        del cpuid, xgetbv  # release from_buffer refs before the page goes
+        return repr(dump).encode()
+    except Exception:
+        return b''
+
+
 def compile_cache_dir(backend: str) -> str:
     """Persistent XLA compile-cache directory for ``backend`` ('tpu'/'cpu').
 
@@ -45,17 +118,16 @@ def compile_cache_dir(backend: str) -> str:
     the program: an entry written on a different host loads with mismatched
     ISA features (XLA only logs an error) and has been observed to produce
     wrong numerics and SIGABRT here, so the CPU directory is keyed by the
-    host's CPU feature set."""
+    host's CPU identity."""
     if backend != 'cpu':
         # Any accelerator backend (tpu / the axon plugin name): device code,
         # host-independent.
         return '/tmp/dsrl_tpu_jax_cache'
-    # The key must cover everything LLVM derives host codegen from.  Flags
-    # alone are NOT enough: two hosts with identical cpuinfo flags but
-    # different family/model/stepping get different getHostCPUName() answers,
-    # and with them different *tuning* features (+prefer-no-scatter,
-    # +prefer-no-gather, -amx-avx512, ...) baked into the AOT entry — observed
-    # here as cross-loads that XLA only E-logs.  Hash the identity fields too.
+    # The key must cover everything LLVM derives host codegen from, read
+    # from the same place LLVM reads it: live CPUID (see
+    # _live_cpuid_identity — cpuinfo survives live migration unchanged and
+    # has collided across hosts with different LLVM tuning features).
+    # cpuinfo fields stay in the hash as the fallback and for microcode.
     import hashlib
     keys = ('vendor_id', 'cpu family', 'model', 'model name', 'stepping',
             'microcode', 'flags')
@@ -71,7 +143,8 @@ def compile_cache_dir(backend: str) -> str:
         pass
     if not ident:
         ident = [platform.processor() or 'unknown']
-    tag = hashlib.md5('\n'.join(ident).encode()).hexdigest()[:10]
+    blob = '\n'.join(ident).encode() + b'\0' + _live_cpuid_identity()
+    tag = hashlib.md5(blob).hexdigest()[:10]
     return '/tmp/dsrl_tpu_jax_cache_cpu_' + tag
 
 

@@ -191,6 +191,18 @@ def test_dry_run(workdir):
     assert os.path.isdir(os.path.join('experiments', 'dryrun_exp'))
 
 
+def test_dry_run_stage3(workdir):
+    # Stage 3 dry-run exercises the synthesized-FA path (the reference
+    # computes FA on t.randn transformer placeholders in dry-run,
+    # train_or_resume.py:422-423); this combination once crashed at trace
+    # time on a None transformer output.
+    run_cli('train', '--device', 'cpu', '--dataset', 'cityscapes', '--stage', '3',
+            '--epochs', '1', '--batch-size', '1', '--val-interval', '1',
+            '--checkpoint-history', '0', '--num-workers', '1', '--dry-run',
+            '--experiment-id', 'dryrun3_exp', '--yes')
+    assert os.path.isdir(os.path.join('experiments', 'dryrun3_exp'))
+
+
 def test_purge_weights_logs(workdir):
     assert os.path.isdir(os.path.join('weights', 'stage2'))
     with pytest.raises(SystemExit):

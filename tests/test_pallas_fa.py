@@ -52,6 +52,15 @@ def test_unaligned_n_rejected(rng):
         fa_allpairs_abs_mean_pallas(a, a, True)
 
 
+def test_unaligned_n_rejected_at_entry_point(rng):
+    # The custom-vjp entry point itself must refuse ragged N: the j-loop
+    # walks full 128-column tiles only, so a ragged tail would silently
+    # drop columns from the sum and leave db's tail uninitialized.
+    a = jnp.zeros((2, 200))
+    with pytest.raises(ValueError):
+        fa_allpairs_abs_sum_rows(a, a, True)
+
+
 def test_row_padding(rng):
     """Row counts not divisible by the 8-row tile must still be exact."""
     a = rng.standard_normal((3, 128), dtype=np.float32)
