@@ -134,7 +134,8 @@ def _train_throughput(stage):
 
     # Same PRNG the training engine uses on TPU (hardware RBG: threefry
     # costs ~5 ms/step generating three full-res dropout masks).
-    key = jax.random.key(0, impl='rbg' if jax.default_backend() == 'tpu'
+    from dualsuperreslearningforsemseg_tpu.utils.backend import resolve_backend
+    key = jax.random.key(0, impl='rbg' if resolve_backend() == 'tpu'
                          else 'threefry2x32')
     lr = jnp.float32(0.006)
 
@@ -298,15 +299,20 @@ def _train_throughput_with_loader(stage, tree_images=96):
     sharding = batch_sharding(mesh, 4)
     sharding3 = batch_sharding(mesh, 3)
     labs_sharding = NamedSharding(mesh, P(None, 'data'))
-    key = jax.random.key(0, impl='rbg' if jax.default_backend() == 'tpu'
+    from dualsuperreslearningforsemseg_tpu.utils.backend import resolve_backend
+    key = jax.random.key(0, impl='rbg' if resolve_backend() == 'tpu'
                          else 'threefry2x32')
     lr = jnp.float32(0.006)
 
     def stage_batch(batch):
-        imgs_u8, segs_u8, labs = batch
-        return (jax.make_array_from_process_local_data(sharding, imgs_u8),
-                jax.make_array_from_process_local_data(sharding3, segs_u8),
-                jax.make_array_from_process_local_data(labs_sharding, labs))
+        # The host transform yields 2-tuples when the native g16 label
+        # plane is unavailable (stale core-ABI .so); the train step then
+        # builds the label layout in-graph (labs=None fallback).
+        imgs_dev = jax.make_array_from_process_local_data(sharding, batch[0])
+        segs_dev = jax.make_array_from_process_local_data(sharding3, batch[1])
+        labs_dev = (jax.make_array_from_process_local_data(labs_sharding, batch[2])
+                    if len(batch) > 2 else None)
+        return imgs_dev, segs_dev, labs_dev
 
     def step(state, key, batch):
         imgs_dev, segs_dev, labs_dev = batch

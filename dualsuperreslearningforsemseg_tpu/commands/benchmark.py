@@ -27,7 +27,7 @@ from ..data import Loader, DevicePrefetcher, make_eval_transform_fn, AugmentConf
 from ..metrics import mIoU, Accuracy, AverageMeter
 from ..models import DSRL, load_state_dict
 from ..parallel import (make_mesh, batch_sharding, replicate, is_master_rank,
-                        pad_batch_to_shards)
+                        pad_batch_to_shards, count_valid_fn)
 from ..train import make_eval_step
 from ..utils import INFO, FATAL
 from .test import _init_eval_variables
@@ -89,9 +89,7 @@ def benchmark(weights, dataset, device, num_workers, batch_size, **other_args):
     # local count would mis-weight the (global) per-batch CE mean and
     # undercount throughput by ~process_count on multi-process meshes, and
     # the sharded mask itself is not fetchable from one process.
-    from jax.sharding import NamedSharding, PartitionSpec
-    count_valid = jax.jit(lambda m: m.sum(),
-                          out_shardings=NamedSharding(mesh, PartitionSpec()))
+    count_valid = count_valid_fn(mesh)
 
     # Per-batch results stay ON DEVICE until the loop ends: fetching (or
     # float()-ing) inside the loop would drain the dispatch queue every

@@ -45,7 +45,7 @@ from ..models import DSRL, PolynomialLR, state_dict, load_state_dict, count_para
 from ..ops.colorize import make_input_output_visualization
 from ..parallel import (make_mesh, batch_sharding, replicate, is_master_rank,
                         initialize_distributed, rendezvous_barrier,
-                        pad_batch_to_shards)
+                        pad_batch_to_shards, count_valid_fn)
 from ..train import (sgd_init, make_train_step, make_eval_step, TrainState,
                      optimizer_state_dict, load_optimizer_state_dict)
 from ..utils import (INFO, CAUTION, FATAL, ConditionalContextManager,
@@ -249,7 +249,8 @@ def train_or_resume(is_resuming_training, device, distributed, mixed_precision,
     # the three full-resolution dropout masks per step make threefry cost
     # ~5 ms/step (~6% throughput); rbg is deterministic per seed on a fixed
     # topology, which is all the reference's fixed-seed contract promises.
-    rng_impl = 'rbg' if jax.default_backend() == 'tpu' else 'threefry2x32'
+    from ..utils.backend import resolve_backend
+    rng_impl = 'rbg' if resolve_backend() == 'tpu' else 'threefry2x32'
     rng = jax.random.key(settings.RANDOM_SEED + 1000 * (starting_epoch + 1),
                          impl=rng_impl)
 
@@ -577,14 +578,12 @@ def _val_epoch(state, eval_step, loader, eval_fn, mesh, epoch, stage, master,
                     jax.make_array_from_process_local_data(sharding3, segs_u8),
                     jax.make_array_from_process_local_data(sharding1, mask))
 
-        # Per-batch GLOBAL valid-image count as a replicated device scalar
-        # (same rationale as commands/benchmark.py): each process's local
-        # count differs on the ragged final batch, so weighting the (global)
-        # masked per-batch loss means by it would give every process a
-        # differently mis-weighted epoch average — and the early-stopping /
-        # bestval bookkeeping feeds off these numbers.
-        count_valid = jax.jit(lambda m: m.sum(),
-                              out_shardings=NamedSharding(mesh, P()))
+        # Per-batch GLOBAL valid-image count as a replicated device scalar:
+        # each process's local count differs on the ragged final batch, so
+        # weighting the (global) masked per-batch loss means by it would give
+        # every process a differently mis-weighted epoch average — and the
+        # early-stopping / bestval bookkeeping feeds off these numbers.
+        count_valid = count_valid_fn(mesh)
 
         # Per-batch results stay ON DEVICE until the pass ends: a device_get
         # inside the loop drains the dispatch queue between batches (the

@@ -122,15 +122,19 @@ def get_lib():
             if lib is not None:
                 _dlclose(lib)
                 lib = None
-            if _try_build():
+            built = _try_build()
+            if built:
                 lib = _load_and_check()
-            if not _is_current(lib) and lib is not None:
-                # The plain make may have no-op'd against a newer-mtime
-                # stale .so; remake unconditionally before settling.
-                _dlclose(lib)
-                lib = None
-            if lib is None and _try_build(force=True):
-                lib = _load_and_check()
+            if built and not _is_current(lib):
+                # The plain make SUCCEEDED yet the lib is stale or would not
+                # even load: it no-op'd against a newer-mtime bad/stale .so,
+                # so remake unconditionally.  (When the plain make FAILED,
+                # retrying with -B would just pay the build timeout twice.)
+                if lib is not None:
+                    _dlclose(lib)
+                    lib = None
+                if _try_build(force=True):
+                    lib = _load_and_check()
             if lib is None and os.path.isfile(_SO_PATH):
                 lib = _load_and_check()  # fall back to the stale core ABI
             if lib is not None and not _is_current(lib) and not _warned:

@@ -26,8 +26,6 @@ materializing QKᵀ, applied to the pairwise L1.  Gradients flow through the
 sort/gather and match the sign-based subgradient of |·| almost everywhere.
 """
 
-import os
-
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -117,18 +115,10 @@ def fa_loss(feature_map1: jnp.ndarray, feature_map2: jnp.ndarray,
         if n_sim * n_sim <= 4_000_000:
             impl = 'dense'
         else:
-            # Resolve the platform from config/env strings first:
-            # jax.default_backend() BLOCKS for minutes when the TPU tunnel
-            # is wedged (CLAUDE.md), so only probe it when no platform is
-            # pinned (in which case a backend is already initialized by the
-            # surrounding trace).  'axon' is the TPU plugin's platform name.
-            platforms = (getattr(jax.config, 'jax_platforms', None)
-                         or os.environ.get('JAX_PLATFORMS', '') or '').lower()
-            primary = platforms.split(',')[0].strip()
-            if primary:
-                on_tpu = primary in ('tpu', 'axon')
-            else:
-                on_tpu = jax.default_backend() in ('tpu', 'axon')
+            # Offline-safe backend resolution (utils/backend.py): a pinned
+            # 'cpu' platform never touches the (possibly wedged) TPU tunnel.
+            from ..utils.backend import resolve_backend
+            on_tpu = resolve_backend() == 'tpu'
             impl = 'pallas' if (on_tpu and n_sim % 128 == 0) else 'sorted'
 
     if impl == 'dense':

@@ -14,6 +14,8 @@ the reference CLI's MASTER_ADDR/PORT/NODES/NODE_ID mapped onto
 coordinator_address/num_processes/process_id.
 """
 
+import functools
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -33,6 +35,18 @@ def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+@functools.lru_cache(maxsize=8)
+def count_valid_fn(mesh: Mesh):
+    """Jitted global sum of a sharded sample mask as a replicated scalar.
+
+    Used to weight per-batch (global) masked loss means by the true global
+    valid count on multi-process meshes, where each process's local count
+    differs on ragged final batches.  Cached per mesh: a fresh jit(lambda)
+    per validation pass would re-trace (and on TPU, re-pay the remote
+    compile service) every epoch."""
+    return jax.jit(lambda m: m.sum(), out_shardings=NamedSharding(mesh, P()))
 
 
 def shard_batch(tree, mesh: Mesh):

@@ -66,7 +66,8 @@ def make_train_step(model, stage: int, w1: float, w2: float, momentum: float,
         b, h, w, c = y1.shape     # cols carry: (B, H, W, 4*32)
         wp, bp = pack_tail_params_cols(tail['weight'], tail['bias'])
         x = y1.reshape(b * h * w, c)
-        interpret = jax.default_backend() != 'tpu'
+        from ..utils.backend import resolve_backend
+        interpret = resolve_backend() != 'tpu'
 
         multi_dev = mesh is not None and mesh.devices.size > 1
 

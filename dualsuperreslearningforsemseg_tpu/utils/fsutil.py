@@ -2,6 +2,7 @@
 
 import contextlib
 import ctypes
+import functools
 import os
 import os.path
 import platform
@@ -37,6 +38,7 @@ def check_version(version, major, minor):
     return (version[0], version[1]) >= (major, minor)
 
 
+@functools.lru_cache(maxsize=1)
 def _live_cpuid_identity():
     """Raw CPUID dump read at RUNTIME — the same source LLVM's
     getHostCPUName()/getHostCPUFeatures() use for host codegen.
@@ -88,8 +90,11 @@ def _live_cpuid_identity():
         out = (ctypes.c_uint32 * 4)()
         dump = []
         # Identity + feature leaves LLVM consults: basic 0/1/7(0,1)/0xD(0,1),
-        # extended 0x80000001/6/8 (name string leaves 2..4 excluded — the
-        # marketing string is already in cpuinfo and can carry per-VM noise).
+        # extended 0x80000001/8.  Excluded on purpose: the name-string
+        # leaves 0x80000002..4 (the marketing string is already in cpuinfo
+        # and can carry per-VM noise) and the cache-descriptor leaf
+        # 0x80000006 (per-core-type on hybrid parts — key-splintering noise,
+        # and LLVM feature detection does not consume it).
         for leaf, sub in ((0, 0), (1, 0), (7, 0), (7, 1),
                           (0xD, 0), (0xD, 1),
                           (0x80000000, 0), (0x80000001, 0), (0x80000008, 0)):

@@ -32,12 +32,17 @@ def test_cpu_cache_key_uses_live_cpuid():
     import platform
     from dualsuperreslearningforsemseg_tpu.utils import fsutil
 
-    blob1 = fsutil._live_cpuid_identity()
-    blob2 = fsutil._live_cpuid_identity()
+    # Bypass the lru_cache: the masking claim (APIC-ID byte zeroed) must be
+    # checked on two real probe executions, not a cached blob vs itself.
+    probe = getattr(fsutil._live_cpuid_identity, '__wrapped__',
+                    fsutil._live_cpuid_identity)
+    blob1 = probe()
+    blob2 = probe()
     assert blob1 == blob2  # per-core noise (APIC ID) must be masked out
-    if platform.machine() == 'x86_64':
-        assert blob1, "CPUID probe must work on x86_64"
-        # Leaf 0 carries the vendor string in EBX/EDX/ECX.
+    if platform.machine() == 'x86_64' and blob1:
+        # b'' is legal even on x86_64 (W^X policy can deny the executable
+        # page); when the probe does run, leaf 0 must carry a real vendor
+        # string in EBX/EDX/ECX.
         import struct
         leaf0 = eval(blob1.decode())[0]
         vendor = struct.pack('<III', leaf0[3], leaf0[5], leaf0[4])
@@ -52,6 +57,34 @@ def test_cpu_cache_key_uses_live_cpuid():
     finally:
         fsutil._live_cpuid_identity = orig
     assert fsutil.compile_cache_dir('cpu') == real
+
+
+def test_pinned_cpu_platform_resolves_offline():
+    """The suite pins jax to CPU (conftest); the shared resolver must decide
+    that from the config string alone — it is the offline-safe path that
+    must never touch a (possibly wedged) TPU tunnel."""
+    from dualsuperreslearningforsemseg_tpu.utils.backend import (
+        pinned_platform, resolve_backend)
+    assert pinned_platform() == 'cpu'
+    assert resolve_backend() == 'cpu'
+
+
+def test_single_entry_pins_resolve_from_strings(monkeypatch):
+    """Any SINGLE-entry pin must resolve without probing the backend ('axon'
+    canonicalizes to the 'tpu' its PJRT client reports); multi-entry priority
+    lists must probe, because jax may have fallen back past the first entry."""
+    from dualsuperreslearningforsemseg_tpu.utils import backend
+
+    monkeypatch.setattr(backend, '_pin', lambda: 'axon')
+    assert backend.resolve_backend() == 'tpu'
+    monkeypatch.setattr(backend, '_pin', lambda: 'tpu')
+    assert backend.resolve_backend() == 'tpu'
+
+    probed = []
+    monkeypatch.setattr(backend, '_pin', lambda: 'axon,cpu')
+    import jax
+    monkeypatch.setattr(jax, 'default_backend', lambda: probed.append(1) or 'cpu')
+    assert backend.resolve_backend() == 'cpu' and probed
 
 
 def test_guard_disables_cache_under_the_shared_accelerator_dir():
