@@ -16,6 +16,9 @@ drops the key rather than the run):
   H2D + forward + argmax + D2H of the prediction, median of N reps.
 * ``stage1_eval_images_per_sec_per_chip`` — the `benchmark` command's hot
   loop (stage-1 eval + on-device metric histograms).
+* ``stage1_train_images_per_sec_per_chip`` / ``stage2_...`` / ``stage{1,2}_mfu``
+  — the earlier stages of the reference's 3-stage cascade at the same shapes,
+  so one run records the full cascade.
 
 ``vs_baseline`` divides by REF_IMAGES_PER_SEC = 12.0, an ESTIMATE for the
 reference implementation at these shapes on its era's hardware (the
@@ -489,6 +492,19 @@ def main():
             record["stage1_eval_images_per_sec_per_chip"] = round(_stage1_eval_throughput(), 2)
         except Exception as exc:
             print("stage-1 eval measurement failed: {}".format(exc), file=sys.stderr)
+        # Full-cascade record: stage-1/2 train throughput + MFU alongside the
+        # primary stage-3 metric, so one bench run documents every stage the
+        # reference's 3-stage recipe trains.
+        for early_stage in (2, 1):
+            try:
+                extra = _train_throughput(early_stage)
+                record["stage{}_train_images_per_sec_per_chip".format(early_stage)] = (
+                    round(extra["images_per_sec_per_chip"], 2))
+                if "mfu" in extra:
+                    record["stage{}_mfu".format(early_stage)] = extra["mfu"]
+            except Exception as exc:
+                print("stage-{} train measurement failed: {}".format(early_stage, exc),
+                      file=sys.stderr)
 
     print(json.dumps(record))
 
