@@ -74,17 +74,8 @@ def _retry(fn, what, attempts=3):
 
 
 def _init_host(model, input_hw, seed):
-    import jax
-    import jax.numpy as jnp
-    from dualsuperreslearningforsemseg_tpu.utils.fsutil import host_init_cache_guard
-    rngs = {'params': jax.random.PRNGKey(seed), 'dropout': jax.random.PRNGKey(seed + 1)}
-    x0 = jnp.zeros((1, *input_hw, 3), jnp.float32)
-    try:
-        cpu = jax.local_devices(backend='cpu')[0]
-        with host_init_cache_guard(), jax.default_device(cpu):
-            return jax.jit(model.init, static_argnums=(2,))(rngs, x0, False)
-    except Exception:
-        return model.init(rngs, x0, False)
+    from dualsuperreslearningforsemseg_tpu.models import init_model_host
+    return init_model_host(model, input_hw, seed=seed)
 
 
 def _train_throughput(stage):
@@ -456,10 +447,14 @@ def main():
 
     import jax
     try:
-        # Share the CLI's persistent accelerator cache (fsutil keys CPU
-        # caches by host identity; the accelerator dir is shared-safe).
+        # Share the CLI's persistent accelerator cache, keyed by the backend
+        # actually in use: a CPU-pinned bench run must land in the
+        # host-identity-keyed CPU dir (fsutil), never the shared accelerator
+        # dir — XLA:CPU entries are host-specific AOT machine code.
         from dualsuperreslearningforsemseg_tpu.utils.fsutil import compile_cache_dir
-        jax.config.update('jax_compilation_cache_dir', compile_cache_dir('tpu'))
+        from dualsuperreslearningforsemseg_tpu.utils.backend import resolve_backend
+        jax.config.update('jax_compilation_cache_dir',
+                          compile_cache_dir(resolve_backend()))
         jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
     except Exception:
         pass

@@ -13,14 +13,8 @@ from ..utils import INFO
 def print_model(stage, dataset, **other_args):
     model = DSRL(stage=stage, num_classes=dataset['settings'].NUM_CLASSES)
     x = jnp.zeros((1, *settings.MODEL_INPUT_SIZE, 3), jnp.float32)
-    try:
-        cpu = jax.local_devices(backend='cpu')[0]
-    except Exception:
-        cpu = None
-    import contextlib
-    from ..utils.fsutil import host_init_cache_guard
-    ctx = jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
-    with host_init_cache_guard(), ctx:
+    from ..models.host_init import host_init_context
+    with host_init_context():
         print(nn.tabulate(model, {'params': jax.random.PRNGKey(0),
                                   'dropout': jax.random.PRNGKey(1)},
                           depth=3)(x, False))

@@ -22,11 +22,10 @@ from .. import consts, settings
 from ..checkpoint import load_checkpoint_or_weights
 from ..data import make_eval_transform_fn, AugmentConfig
 from ..metrics.device import argmax_lastdim
-from ..models import DSRL, load_state_dict
+from ..models import DSRL, load_state_dict, init_model_host
 from ..ops.colorize import make_input_output_visualization
 from ..ops.resize import resize_bilinear_align_corners
 from ..utils import INFO, timethis, getFilesWithExtension, swapTupleValues
-from ..utils.fsutil import host_init_cache_guard
 
 
 def _build_forward(weights, dataset, compiled_model):
@@ -67,15 +66,7 @@ def _build_pipeline(weights, dataset, compiled_model):
 
 
 def _init_eval_variables(model):
-    x = jnp.zeros((1, *settings.MODEL_INPUT_SIZE, 3), jnp.float32)
-    try:
-        cpu = jax.local_devices(backend='cpu')[0]
-        with host_init_cache_guard(), jax.default_device(cpu):
-            return jax.jit(model.init, static_argnums=(2,))(
-                {'params': jax.random.PRNGKey(0), 'dropout': jax.random.PRNGKey(1)}, x, False)
-    except Exception:
-        return model.init({'params': jax.random.PRNGKey(0),
-                           'dropout': jax.random.PRNGKey(1)}, x, False)
+    return init_model_host(model, settings.MODEL_INPUT_SIZE)
 
 
 def test(image_file, images_dir, dataset, output_dir, weights, device,

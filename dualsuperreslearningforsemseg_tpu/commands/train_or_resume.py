@@ -50,27 +50,8 @@ from ..train import (sgd_init, make_train_step, make_eval_step, TrainState,
                      optimizer_state_dict, load_optimizer_state_dict)
 from ..utils import (INFO, CAUTION, FATAL, ConditionalContextManager,
                      makeSecondsPretty, prevent_system_sleep)
-from ..utils.fsutil import host_init_cache_guard
 from ..utils.tb_writer import SummaryWriter
-
-
-def _cpu_device():
-    try:
-        return jax.local_devices(backend='cpu')[0]
-    except Exception:
-        return None
-
-
-def _init_model_host(model, input_hw, seed):
-    """Initialize parameters on the host CPU backend when available —
-    initializing on a tunneled TPU costs minutes of tiny-kernel compiles."""
-    x = jnp.zeros((1, *input_hw, 3), jnp.float32)
-    rngs = {'params': jax.random.PRNGKey(seed), 'dropout': jax.random.PRNGKey(seed + 1)}
-    cpu = _cpu_device()
-    if cpu is not None:
-        with host_init_cache_guard(), jax.default_device(cpu):
-            return jax.jit(model.init, static_argnums=(2,))(rngs, x, False)
-    return model.init(rngs, x, False)
+from ..models.host_init import init_model_host
 
 
 def initialize_with_pretrained_weights(variables, weights_dir):
@@ -138,7 +119,8 @@ def train_or_resume(is_resuming_training, device, distributed, mixed_precision,
     # parity with the reference's t.manual_seed(RANDOM_SEED) identical-init
     # contract, train_or_resume.py:28-31).
     model = DSRL(stage=stage, num_classes=ds_settings.NUM_CLASSES, dtype=compute_dtype)
-    variables = _init_model_host(model, settings.MODEL_INPUT_SIZE, settings.RANDOM_SEED)
+    variables = init_model_host(model, settings.MODEL_INPUT_SIZE,
+                                seed=settings.RANDOM_SEED)
 
     starting_epoch = 0
     resume_opt_state = None
@@ -602,12 +584,8 @@ def _val_epoch(state, eval_step, loader, eval_fn, mesh, epoch, stage, master,
                     _log_example_image(logger, img_hi, pred, ds_settings, epoch)
 
     for losses, hists, acc, n_dev in pending:
-        host = jax.device_get(losses)
-        n = int(jax.device_get(n_dev))
-        CE_avg.update(float(host['CE']), n)
-        MSE_avg.update(float(host['MSE']), n)
-        FA_avg.update(float(host['FA']), n)
-        Total_avg.update(float(host['Total']), n)
+        _update_meters((losses, int(jax.device_get(n_dev))),
+                       CE_avg, MSE_avg, FA_avg, Total_avg)
         miou.update_from_areas(*jax.device_get(hists))
         mean_accuracy.update_from_counts(*[int(v) for v in jax.device_get(acc)])
 

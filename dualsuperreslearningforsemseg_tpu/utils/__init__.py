@@ -4,7 +4,7 @@ from .timers import timeit, timethis, makeSecondsPretty
 from .fsutil import (INVALID_FILENAME_CHARS, isInvalidFilename, hasExtension,
                      getFilesWithExtension, swapTupleValues, check_version,
                      prevent_system_sleep)
-from .backend import pinned_platform, resolve_backend
+from .backend import pinned_platform, pinned_exactly, resolve_backend
 from .validators import (ValidateDatasetNameAndSplit,
                          ValidateDatasetNameSplitAndIndex,
                          ValidateDistributedTrainingOptions)
@@ -14,7 +14,8 @@ __all__ = [
     'ConditionalContextManager', 'timeit', 'timethis', 'makeSecondsPretty',
     'INVALID_FILENAME_CHARS', 'isInvalidFilename', 'hasExtension',
     'getFilesWithExtension', 'swapTupleValues', 'check_version',
-    'prevent_system_sleep', 'pinned_platform', 'resolve_backend',
+    'prevent_system_sleep', 'pinned_platform', 'pinned_exactly',
+    'resolve_backend',
     'ValidateDatasetNameAndSplit',
     'ValidateDatasetNameSplitAndIndex', 'ValidateDistributedTrainingOptions',
 ]

@@ -25,6 +25,16 @@ def pinned_platform() -> str:
     return _pin().split(',')[0].strip()
 
 
+def pinned_exactly(platform: str) -> bool:
+    """True iff the ENTIRE pin is exactly this one platform.
+
+    This is the only condition under which probing ``jax.devices()`` is
+    provably offline-safe: a multi-entry pin like 'cpu,axon' eagerly
+    initializes EVERY listed plugin, so even a cpu-first list can block on
+    the remote TPU tunnel."""
+    return _pin() == platform.lower()
+
+
 def resolve_backend() -> str:
     """Canonical platform name of the backend this process will compute on.
 

@@ -53,7 +53,11 @@ def _select_platform(args):
             pass
     else:
         # Persistent compilation cache: TPU compiles are expensive (remote
-        # tunnels especially); repeat invocations hit the cache.
+        # tunnels especially); repeat invocations hit the cache.  Keyed
+        # 'tpu' from the string alone — resolve_backend() would have to
+        # initialize the backend here, making every CLI command (even ones
+        # that then compute on the host, like print-model) block at startup
+        # whenever the TPU tunnel is wedged.
         try:
             from dualsuperreslearningforsemseg_tpu.utils.fsutil import compile_cache_dir
             jax.config.update('jax_compilation_cache_dir', compile_cache_dir('tpu'))

@@ -87,6 +87,19 @@ def test_single_entry_pins_resolve_from_strings(monkeypatch):
     assert backend.resolve_backend() == 'cpu' and probed
 
 
+def test_device_probe_gate_requires_exact_cpu_pin(monkeypatch):
+    """jax.devices() may only be probed under an EXACT single-entry 'cpu'
+    pin: a multi-entry list like 'cpu,axon' eagerly initializes every listed
+    plugin, so even a cpu-first pin can block on the remote TPU tunnel."""
+    from dualsuperreslearningforsemseg_tpu.utils import backend
+
+    monkeypatch.setattr(backend, '_pin', lambda: 'cpu')
+    assert backend.pinned_exactly('cpu')
+    for pin in ('cpu,axon', 'axon,cpu', 'axon', ''):
+        monkeypatch.setattr(backend, '_pin', lambda p=pin: p)
+        assert not backend.pinned_exactly('cpu')
+
+
 def test_guard_disables_cache_under_the_shared_accelerator_dir():
     prev = jax.config.jax_compilation_cache_dir
     try:

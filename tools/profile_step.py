@@ -18,7 +18,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     import jax
     import jax.numpy as jnp
-    jax.config.update('jax_compilation_cache_dir', '/tmp/dsrl_tpu_jax_cache')
+    from dualsuperreslearningforsemseg_tpu.utils.fsutil import compile_cache_dir
+    jax.config.update('jax_compilation_cache_dir', compile_cache_dir('tpu'))
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
     from dualsuperreslearningforsemseg_tpu import settings
