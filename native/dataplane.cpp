@@ -33,11 +33,14 @@
 #include <immintrin.h>
 #endif
 
+#include <algorithm>
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
 #include <thread>
+#include <utility>
 #include <vector>
 
 namespace {
@@ -477,42 +480,103 @@ int dp_warp_pair_batch(const uint8_t* imgs_in, const uint8_t* segs_in, int n,
       const float m00 = mats[i * 6 + 0], m01 = mats[i * 6 + 1],
                   m02 = mats[i * 6 + 2], m10 = mats[i * 6 + 3],
                   m11 = mats[i * 6 + 4], m12 = mats[i * 6 + 5];
+      // LUT hoisted to an always-valid table so the hot loop is branch-free.
+      uint8_t ident[256];
+      const uint8_t* L = lut;
+      if (L == nullptr) {
+        for (int v = 0; v < 256; ++v) ident[v] = static_cast<uint8_t>(v);
+        L = ident;
+      }
+      // Full-precision sample of one output pixel; bounds-checked with the
+      // fill/clamp conventions above.  Used for the row borders.
+      auto sample_px = [&](float sx, float sy, uint8_t* px, uint8_t* pl) {
+        if (sx >= 0.f && sx <= w0 - 1.f && sy >= 0.f && sy <= h0 - 1.f) {
+          int x0 = static_cast<int>(sx);
+          int y0 = static_cast<int>(sy);
+          int x1 = x0 + 1 < w0 ? x0 + 1 : w0 - 1;
+          int y1 = y0 + 1 < h0 ? y0 + 1 : h0 - 1;
+          float fx = sx - x0, fy = sy - y0;
+          const uint8_t* p00 = src + (static_cast<size_t>(y0) * w0 + x0) * 3;
+          const uint8_t* p01 = src + (static_cast<size_t>(y0) * w0 + x1) * 3;
+          const uint8_t* p10 = src + (static_cast<size_t>(y1) * w0 + x0) * 3;
+          const uint8_t* p11 = src + (static_cast<size_t>(y1) * w0 + x1) * 3;
+          const float w00 = (1 - fx) * (1 - fy), w01 = fx * (1 - fy);
+          const float w10 = (1 - fx) * fy, w11 = fx * fy;
+          for (int c = 0; c < 3; ++c) {
+            float v = w00 * p00[c] + w01 * p01[c] + w10 * p10[c] + w11 * p11[c];
+            px[c] = static_cast<uint8_t>(v + 0.5f);
+          }
+        } else {
+          px[0] = px[1] = px[2] = 0;
+        }
+        int xr = static_cast<int>(sx + 0.5f);
+        int yr = static_cast<int>(sy + 0.5f);
+        uint8_t label = 255;
+        if (xr >= 0 && xr < w0 && yr >= 0 && yr < h0 && sx >= -0.5f && sy >= -0.5f) {
+          label = sseg[static_cast<size_t>(yr) * w0 + xr];
+        }
+        *pl = L[label];
+      };
+      // Interval of x where sx = m00*x + b stays inside [lo, hi], with a
+      // margin absorbing the 16.16 fixed-point drift of the interior loop
+      // (<= ow * 0.5/65536 = 0.008 px for ow <= 1024-class widths).
+      auto span = [](float m, float b, float lo, float hi, int ow_) {
+        const double margin = 0.02;
+        double a = lo + margin, z = hi - margin;
+        double xa = 0, xb = ow_;
+        if (m > 1e-12) { xa = (a - b) / m; xb = (z - b) / m; }
+        else if (m < -1e-12) { xa = (z - b) / m; xb = (a - b) / m; }
+        else if (b < a || b > z) { return std::pair<int, int>(0, 0); }
+        int ia = static_cast<int>(std::ceil(std::min(std::max(0.0, xa),
+                                                     static_cast<double>(ow_))));
+        int ib = static_cast<int>(std::floor(std::min(static_cast<double>(ow_), xb + 1)));
+        return std::pair<int, int>(ia, ib < ia ? ia : ib);
+      };
+      const int32_t dsxf = static_cast<int32_t>(std::lrint(m00 * 65536.0));
+      const int32_t dsyf = static_cast<int32_t>(std::lrint(m10 * 65536.0));
       for (int y = 0; y < oh; ++y) {
         const float base_x = m01 * y + m02;
         const float base_y = m11 * y + m12;
-        for (int x = 0; x < ow; ++x) {
-          const float sx = m00 * x + base_x;
-          const float sy = m10 * x + base_y;
-          uint8_t* px = dst + (static_cast<size_t>(y) * ow + x) * 3;
-          // bilinear image sample
-          if (sx >= 0.f && sx <= w0 - 1.f && sy >= 0.f && sy <= h0 - 1.f) {
-            int x0 = static_cast<int>(sx);
-            int y0 = static_cast<int>(sy);
-            int x1 = x0 + 1 < w0 ? x0 + 1 : w0 - 1;
-            int y1 = y0 + 1 < h0 ? y0 + 1 : h0 - 1;
-            float fx = sx - x0, fy = sy - y0;
-            const uint8_t* p00 = src + (static_cast<size_t>(y0) * w0 + x0) * 3;
-            const uint8_t* p01 = src + (static_cast<size_t>(y0) * w0 + x1) * 3;
-            const uint8_t* p10 = src + (static_cast<size_t>(y1) * w0 + x0) * 3;
-            const uint8_t* p11 = src + (static_cast<size_t>(y1) * w0 + x1) * 3;
-            const float w00 = (1 - fx) * (1 - fy), w01 = fx * (1 - fy);
-            const float w10 = (1 - fx) * fy, w11 = fx * fy;
-            for (int c = 0; c < 3; ++c) {
-              float v = w00 * p00[c] + w01 * p01[c] + w10 * p10[c] + w11 * p11[c];
-              px[c] = static_cast<uint8_t>(v + 0.5f);
-            }
-          } else {
-            px[0] = px[1] = px[2] = 0;
-          }
-          // nearest label sample + LUT
-          int xr = static_cast<int>(sx + 0.5f);
-          int yr = static_cast<int>(sy + 0.5f);
-          uint8_t label = 255;
-          if (xr >= 0 && xr < w0 && yr >= 0 && yr < h0 && sx >= -0.5f && sy >= -0.5f) {
-            label = sseg[static_cast<size_t>(yr) * w0 + xr];
-          }
-          dseg[static_cast<size_t>(y) * ow + x] = lut ? lut[label] : label;
+        uint8_t* drow = dst + static_cast<size_t>(y) * ow * 3;
+        uint8_t* lrow = dseg + static_cast<size_t>(y) * ow;
+        // Interior: every bilinear tap in-bounds WITHOUT clamping
+        // (sx < w0-1 so x0+1 is valid; same for y), nearest label too.
+        auto sx_span = span(m00, base_x, 0.f, w0 - 1.f, ow);
+        auto sy_span = span(m10, base_y, 0.f, h0 - 1.f, ow);
+        int xa = sx_span.first > sy_span.first ? sx_span.first : sy_span.first;
+        int xb = sx_span.second < sy_span.second ? sx_span.second : sy_span.second;
+        if (xb <= xa) { xa = xb = 0; }
+        for (int x = 0; x < xa; ++x)
+          sample_px(m00 * x + base_x, m10 * x + base_y, drow + x * 3, lrow + x);
+        // Branch-free fixed-point core: 16.16 coords advanced incrementally,
+        // 8-bit bilinear weights (identity transforms hit fx=fy=0 and stay
+        // bit-exact; elsewhere the quantization is < 1 gray level).
+        int32_t sxf = static_cast<int32_t>(std::lrint((m00 * xa + base_x) * 65536.0));
+        int32_t syf = static_cast<int32_t>(std::lrint((m10 * xa + base_y) * 65536.0));
+        for (int x = xa; x < xb; ++x, sxf += dsxf, syf += dsyf) {
+          const uint32_t x0 = static_cast<uint32_t>(sxf) >> 16;
+          const uint32_t y0 = static_cast<uint32_t>(syf) >> 16;
+          const uint32_t fx = (static_cast<uint32_t>(sxf) >> 8) & 0xFF;
+          const uint32_t fy = (static_cast<uint32_t>(syf) >> 8) & 0xFF;
+          const uint8_t* p00 = src + (static_cast<size_t>(y0) * w0 + x0) * 3;
+          const uint8_t* p10 = p00 + static_cast<size_t>(w0) * 3;
+          const uint32_t w11 = fx * fy;
+          const uint32_t w01 = (fx << 8) - w11;
+          const uint32_t w10 = (fy << 8) - w11;
+          const uint32_t w00 = 65536 - w01 - w10 - w11;
+          uint8_t* px = drow + x * 3;
+          px[0] = static_cast<uint8_t>(
+              (w00 * p00[0] + w01 * p00[3] + w10 * p10[0] + w11 * p10[3] + 32768) >> 16);
+          px[1] = static_cast<uint8_t>(
+              (w00 * p00[1] + w01 * p00[4] + w10 * p10[1] + w11 * p10[4] + 32768) >> 16);
+          px[2] = static_cast<uint8_t>(
+              (w00 * p00[2] + w01 * p00[5] + w10 * p10[2] + w11 * p10[5] + 32768) >> 16);
+          const uint32_t xr = static_cast<uint32_t>(sxf + 0x8000) >> 16;
+          const uint32_t yr = static_cast<uint32_t>(syf + 0x8000) >> 16;
+          lrow[x] = L[sseg[static_cast<size_t>(yr) * w0 + xr]];
         }
+        for (int x = xb < xa ? xa : xb; x < ow; ++x)
+          sample_px(m00 * x + base_x, m10 * x + base_y, drow + x * 3, lrow + x);
       }
     }
   };
