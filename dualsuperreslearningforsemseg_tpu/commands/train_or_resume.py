@@ -216,11 +216,12 @@ def train_or_resume(is_resuming_training, device, distributed, mixed_precision,
                           seed=settings.RANDOM_SEED, drop_last=True,
                           num_workers=num_workers,
                           world_size=jax.process_count(), rank=jax.process_index(),
-                          host_transform=host_transform)
+                          host_transform=host_transform, raw_cache='env')
     val_loader = Loader(dataset['class'](dataset['path'], split='val'),
                         batch_size=global_batch, shuffle=False, drop_last=False,
                         num_workers=num_workers,
-                        world_size=jax.process_count(), rank=jax.process_index())
+                        world_size=jax.process_count(), rank=jax.process_index(),
+                        raw_cache='env')
 
     train_logs_dir = os.path.join(experiment_id, settings.LOGS_DIR.format(stage=stage, mode='train'))
     val_logs_dir = os.path.join(experiment_id, settings.LOGS_DIR.format(stage=stage, mode='val'))

@@ -235,3 +235,63 @@ def test_loader_drop_last_false_yields_valid_mask():
     padded_i, padded_s, mask = pad_batch_to_shards(imgs, segs, 4, valid)
     assert padded_i.shape[0] == 4
     np.testing.assert_array_equal(mask, [1.0, 1.0, 0.0, 0.0])
+
+
+def test_raw_pair_cache_roundtrip_and_invalidation(tmp_path):
+    import os
+    import time
+    from dualsuperreslearningforsemseg_tpu.data import RawPairCache
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (8, 16, 3), np.uint8)
+    seg = rng.integers(0, 34, (8, 16), np.uint8)
+    ip, sp = str(tmp_path / 'a.png'), str(tmp_path / 'b.png')
+    for p in (ip, sp):
+        with open(p, 'wb') as f:
+            f.write(b'x' * 10)
+    cache = RawPairCache(str(tmp_path / 'cache'), (8, 16))
+    assert cache.load(ip, sp) is None
+    cache.store(ip, sp, img, seg)
+    got = cache.load(ip, sp)
+    assert got is not None
+    np.testing.assert_array_equal(got[0], img)
+    np.testing.assert_array_equal(got[1], seg)
+    # touching a source file must invalidate (stat identity in the key)
+    time.sleep(0.01)
+    with open(ip, 'wb') as f:
+        f.write(b'y' * 11)
+    assert cache.load(ip, sp) is None
+    # a corrupt entry is a miss and gets removed
+    cache.store(ip, sp, img, seg)
+    entry = cache._entry_path(ip, sp)
+    with open(entry, 'wb') as f:
+        f.write(b'garbage')
+    assert cache.load(ip, sp) is None
+    assert not os.path.exists(entry)
+    # foreign geometry is silently not stored
+    cache.store(ip, sp, img[:4], seg[:4])
+    assert cache.load(ip, sp) is None
+
+
+def test_loader_raw_cache_equivalence(tmp_path):
+    """Batches served from the raw cache are identical to decoded ones,
+    and the second epoch is all hits."""
+    from dualsuperreslearningforsemseg_tpu.data import RawPairCache
+
+    make_synthetic_cityscapes_tree(str(tmp_path), split='train', num_images=4,
+                                   size_hw=(16, 32))
+    ds = CityscapesDataset(str(tmp_path), split='train')
+    plain = Loader(ds, batch_size=2, shuffle=True, seed=7, drop_last=True,
+                   num_workers=1)
+    cache = RawPairCache(str(tmp_path / 'rawcache'), (16, 32))
+    cached = Loader(ds, batch_size=2, shuffle=True, seed=7, drop_last=True,
+                    num_workers=1, raw_cache=cache)
+    for epoch in (0, 1):
+        plain.set_epoch(epoch)
+        cached.set_epoch(epoch)
+        for (pi, ps), (ci, cs_) in zip(iter(plain), iter(cached)):
+            np.testing.assert_array_equal(pi, ci)
+            np.testing.assert_array_equal(ps, cs_)
+    # every pair is now cached
+    for ip, sp in ds.pairs:
+        assert cache.load(ip, sp) is not None
