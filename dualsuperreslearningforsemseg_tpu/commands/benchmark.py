@@ -27,6 +27,7 @@ from ..data import Loader, DevicePrefetcher, make_eval_transform_fn, AugmentConf
 from ..metrics import mIoU, Accuracy, AverageMeter
 from ..models import DSRL, load_state_dict
 from ..parallel import (make_mesh, batch_sharding, replicate, is_master_rank,
+                        data_shards_per_process,
                         pad_batch_to_shards, count_valid_fn)
 from ..train import make_eval_step
 from ..utils import INFO, FATAL
@@ -57,7 +58,7 @@ def benchmark(weights, dataset, device, num_workers, batch_size, **other_args):
                     world_size=jax.process_count(), rank=jax.process_index())
 
     mesh = make_mesh()
-    n_shards = len(mesh.devices.reshape(-1)) // jax.process_count()
+    n_shards = data_shards_per_process(mesh)
     params = replicate(variables['params'], mesh)
     batch_stats = replicate(variables['batch_stats'], mesh)
     eval_step = make_eval_step(model, stage=1, w1=0.0, w2=0.0,

@@ -44,6 +44,7 @@ from ..metrics import mIoU, Accuracy, AverageMeter
 from ..models import DSRL, PolynomialLR, state_dict, load_state_dict, count_params
 from ..ops.colorize import make_input_output_visualization
 from ..parallel import (make_mesh, batch_sharding, replicate, is_master_rank,
+                        data_shards_per_process,
                         initialize_distributed, rendezvous_barrier,
                         pad_batch_to_shards, count_valid_fn)
 from ..train import (sgd_init, make_train_step, make_eval_step, TrainState,
@@ -111,9 +112,9 @@ def train_or_resume(is_resuming_training, device, distributed, mixed_precision,
     compute_dtype = jnp.bfloat16 if settings.mixed_precision_to_dtype(mixed_precision) == 'bfloat16' \
         else jnp.float32
 
-    mesh = make_mesh()
+    mesh = make_mesh(spatial=settings.SPATIAL_SHARDS)
     n_local = jax.local_device_count()
-    global_batch = batch_size * len(mesh.devices.reshape(-1)) // jax.process_count()
+    global_batch = batch_size * data_shards_per_process(mesh)
 
     # Model + optimizer state (host-initialized, fixed seed across processes —
     # parity with the reference's t.manual_seed(RANDOM_SEED) identical-init
@@ -540,7 +541,7 @@ def _val_epoch(state, eval_step, loader, eval_fn, mesh, epoch, stage, master,
     # visualization with the unseeded numpy RNG too (train_or_resume.py:399),
     # and it must not consume the seeded training stream.
     example_index = np.random.randint(0, max(len(loader), 1)) if master else -1
-    n_shards = len(mesh.devices.reshape(-1)) // jax.process_count()
+    n_shards = data_shards_per_process(mesh)
 
     with ConditionalContextManager(master, lambda: tqdm(
             total=len(loader), desc='VALIDATING', colour='yellow', position=1,

@@ -106,11 +106,19 @@ class FeatureExtractor(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool, freeze_bn: bool = False):
         from .. import settings as _settings
+        from ..parallel.spatial import pin_trunk
         layers = self.backbone_layers or tuple(_settings.BACKBONE_LAYERS)
         use_ra = (not train) or freeze_bn
-        backbone_features, lowlevel_features = ResNet101(layers=layers, dtype=self.dtype, name='backbone')(x, train, freeze_bn)
+        # pin_trunk: no-ops except under a spatial mesh, where the OS16
+        # trunk must stay batch-sharded (parallel/spatial.py) — bracketing
+        # input, backbone outputs, and ASPP output keeps GSPMD from
+        # back-propagating the decoders' H-sharding into the trunk.
+        backbone_features, lowlevel_features = ResNet101(layers=layers, dtype=self.dtype, name='backbone')(pin_trunk(x), train, freeze_bn)
+        backbone_features = pin_trunk(backbone_features)
+        lowlevel_features = pin_trunk(lowlevel_features)
         aspp_features = ASPP(out_channels=256, rate=1, dtype=self.dtype, name='aspp')(backbone_features, train, freeze_bn)
         h, w = aspp_features.shape[1:3]
+        aspp_features = pin_trunk(aspp_features)
         aspp_features = resize_bilinear_matmul(aspp_features, (4 * h, 4 * w))
         shortcut = _conv(48, 1, name='shortcut_conv.0', dtype=self.dtype)(lowlevel_features)
         shortcut = TorchBatchNorm(48, dtype=self.dtype, name='shortcut_conv.1')(shortcut, use_ra)

@@ -23,13 +23,41 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..utils.logging import CAUTION
 
 
-def make_mesh(devices=None) -> Mesh:
+def make_mesh(devices=None, spatial: int = 1) -> Mesh:
+    """1-D ``('data',)`` mesh, or — with ``spatial > 1`` — a 2-D
+    ``('data', 'spatial')`` mesh whose second axis shards the image HEIGHT
+    of every batch (see ``batch_sharding``).  Spatial sharding splits the
+    full-resolution decoder activations (the largest tensors in the
+    program) across chips; GSPMD inserts the conv halo exchanges and
+    partial-reduction collectives, so results stay bit-identical in
+    semantics to the unsharded program.  Use it when per-chip batch 1 still
+    does not fit, or to scale one sample across chips for latency."""
     devices = list(jax.devices()) if devices is None else list(devices)
+    if spatial > 1:
+        if len(devices) % spatial:
+            raise ValueError("spatial={} must divide the device count {}"
+                             .format(spatial, len(devices)))
+        grid = np.array(devices).reshape(len(devices) // spatial, spatial)
+        return Mesh(grid, ('data', 'spatial'))
     return Mesh(np.array(devices), ('data',))
 
 
+def spatial_axis_size(mesh: Mesh) -> int:
+    return mesh.shape.get('spatial', 1) if mesh is not None else 1
+
+
+def data_shards_per_process(mesh: Mesh) -> int:
+    """Per-process shard count of the BATCH axis (the padding multiple for
+    ragged eval batches) — the 'data' axis size only: a 'spatial' axis
+    shards height, not samples."""
+    return max(1, mesh.shape.get('data', 1) // jax.process_count())
+
+
 def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
-    """First axis sharded over 'data', rest replicated."""
+    """First axis sharded over 'data'; on a 2-D mesh, axis 1 (image height,
+    NHWC / NHW) additionally sharded over 'spatial'; rest replicated."""
+    if 'spatial' in mesh.axis_names and ndim >= 3:
+        return NamedSharding(mesh, P('data', 'spatial', *([None] * (ndim - 2))))
     return NamedSharding(mesh, P('data', *([None] * (ndim - 1))))
 
 

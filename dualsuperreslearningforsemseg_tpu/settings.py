@@ -92,6 +92,13 @@ BACKBONE_LAYERS = tuple(int(x) for x in _layers_env.split(',')) if _layers_env \
 #   activation traffic is the indicated direction — measure per hardware.
 BACKBONE_REMAT = int(_os.environ.get('DSRL_TPU_BACKBONE_REMAT', '0'))
 
+# Spatial sharding (parallel/mesh.py::make_mesh): number of mesh columns the
+# image HEIGHT is sharded over (1 = pure data parallelism).  Must divide the
+# device count; GSPMD inserts the conv halo exchanges, so any value is
+# semantically exact.  Use when one sample's full-res decoder activations
+# exceed a chip, or to scale a single sample across chips.
+SPATIAL_SHARDS = int(_os.environ.get('DSRL_TPU_SPATIAL_SHARDS', '1'))
+
 # Dataset registry (/root/reference/settings.py:65-74).  The 'class' entry is a
 # factory (root, split, synthetic=False) -> data.reader dataset object.
 def _cityscapes_factory(path, split, transforms=None):

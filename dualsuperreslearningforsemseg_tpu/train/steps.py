@@ -24,6 +24,7 @@ from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec
 
 from ..losses import cross_entropy_loss, mse_loss, fa_loss
 from ..metrics.device import batch_histograms, batch_accuracy_counts, argmax_lastdim
@@ -51,7 +52,11 @@ def make_train_step(model, stage: int, w1: float, w2: float, momentum: float,
     XLA program (one dispatch per step; the normalize fuses into the first
     convolution's prologue)."""
 
-    use_fused_tail = fused_tail and grouped and not dry_run
+    # Spatial sharding forgoes the Pallas tail: its operands are flattened
+    # batch-major rows + position-major labels, neither of which shards
+    # over an H axis — the grouped XLA tail partitions cleanly instead.
+    spatial = mesh is not None and mesh.shape.get('spatial', 1) > 1
+    use_fused_tail = fused_tail and grouped and not dry_run and not spatial
 
     def _fused_ce(params, y1, labs_t):
         """Final ConvT + CE without materializing the logits
@@ -92,7 +97,23 @@ def make_train_step(model, stage: int, w1: float, w2: float, momentum: float,
         ce_sum, count = per_shard(x, wp, bp, labs_t)
         return jnp.where(count > 0, ce_sum / jnp.maximum(count, 1.0), 0.0)
 
+    def _sp_pin(x):
+        """Pin the leading (batch, height) axes of ``x`` to the
+        ('data', 'spatial') mesh axes."""
+        spec = PartitionSpec('data', 'spatial', *([None] * (x.ndim - 2)))
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
     def loss_fn(params, batch_stats, img_lo, img_hi, seg, rng, labs_t=None):
+        # Sharding layout under spatial partitioning: the OS16 trunk
+        # (backbone + ASPP) computes batch-sharded with H replicated — its
+        # activations are small-spatial, so the duplicated compute is cheap
+        # — while the DECODERS, which hold the full-resolution activations
+        # that motivate spatial sharding at all, run with H sharded over
+        # the 'spatial' axis (model outputs pinned below; GSPMD
+        # back-propagates the spec through the decoder convs and inserts
+        # the halo exchanges).  The trunk-side pins live INSIDE the model
+        # (parallel/spatial.py::pin_trunk, armed by trunk_pinning below):
+        # they are a correctness requirement, see that module's docstring.
         variables = {'params': params, 'batch_stats': batch_stats}
         if dry_run:
             # Exercise the full boilerplate without the network
@@ -121,11 +142,18 @@ def make_train_step(model, stage: int, w1: float, w2: float, momentum: float,
             # ops/conv.py): the labels are grouped to match below, and the
             # loss value is mathematically identical.  Under fused_tail the
             # model returns the pre-ConvT activation instead of logits.
-            outs, mutated = model.apply(
-                variables, img_lo, True, freeze_batch_norm, grouped,
-                use_fused_tail, rngs={'dropout': rng}, mutable=['batch_stats'])
+            from ..parallel.spatial import trunk_pinning
+            with trunk_pinning(mesh if spatial else None):
+                outs, mutated = model.apply(
+                    variables, img_lo, True, freeze_batch_norm, grouped,
+                    use_fused_tail, rngs={'dropout': rng},
+                    mutable=['batch_stats'])
             sssr, sisr, sssr_t, sisr_t = outs
             new_stats = mutated['batch_stats']
+            if spatial:
+                sssr = _sp_pin(sssr)
+                if sisr is not None:
+                    sisr = _sp_pin(sisr)
 
         seg_full = seg
         if grouped and not dry_run:  # dry-run logits are ungrouped full-res
