@@ -37,6 +37,16 @@ def make_mesh(devices=None, spatial: int = 1) -> Mesh:
         if len(devices) % spatial:
             raise ValueError("spatial={} must divide the device count {}"
                              .format(spatial, len(devices)))
+        if jax.process_count() > 1 and jax.local_device_count() % spatial:
+            # jax.devices() is process-major, so rows of `spatial` devices
+            # stay within one process iff spatial divides the local count —
+            # otherwise a spatial group would span hosts and the loaders'
+            # make_array_from_process_local_data staging (each process
+            # supplies full-height local batches) could not address it.
+            raise ValueError(
+                "spatial={} must divide the local device count {} on "
+                "multi-process meshes (a spatial group cannot span hosts)"
+                .format(spatial, jax.local_device_count()))
         grid = np.array(devices).reshape(len(devices) // spatial, spatial)
         return Mesh(grid, ('data', 'spatial'))
     return Mesh(np.array(devices), ('data',))
