@@ -548,6 +548,13 @@ int dp_warp_pair_batch(const uint8_t* imgs_in, const uint8_t* segs_in, int n,
         if (xb <= xa) { xa = xb = 0; }
         for (int x = 0; x < xa; ++x)
           sample_px(m00 * x + base_x, m10 * x + base_y, drow + x * 3, lrow + x);
+        // Measured rejection (round 3): an SSE two-stage formulation
+        // (pmaddwd horizontal lerp + pmulld vertical, bit-identical
+        // expansion of the same integer expression) gained only 1.21x over
+        // this scalar loop — the compiler already auto-vectorizes the
+        // address-independent arithmetic, and per-pixel gathers can't be
+        // vectorized on this (gather-mitigated) host.  Not worth the
+        // complexity; revisit only if the warp dominates a profile.
         // Branch-free fixed-point core: 16.16 coords advanced incrementally,
         // 8-bit bilinear weights (identity transforms hit fx=fy=0 and stay
         // bit-exact; elsewhere the quantization is < 1 gray level).
