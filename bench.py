@@ -208,10 +208,14 @@ def _train_throughput_with_loader(stage, tree_images=96):
     from dualsuperreslearningforsemseg_tpu.train import sgd_init, make_train_step, TrainState
 
     assert native_available(), "--with-loader needs the native data plane"
-    input_hw, output_hw = (256, 512), (512, 1024)
-    source_hw = (1024, 2048)
+    # Production geometry by default (256x512 -> 512x1024 from 1024x2048
+    # source frames); DSRL_TPU_MODEL_INPUT_SIZE scales the whole chain so
+    # the loader path can be CPU-smoked end-to-end at tiny shapes.
+    input_hw = tuple(settings.MODEL_INPUT_SIZE)
+    output_hw = tuple(settings.MODEL_OUTPUT_SIZE)
+    source_hw = (4 * input_hw[0], 4 * input_hw[1])
 
-    tree = '/tmp/dsrl_bench_tree_v2'
+    tree = '/tmp/dsrl_bench_tree_v2_{}x{}'.format(*source_hw)
     dataset = CityscapesDataset(tree, split='train')
     if len(dataset) < tree_images:
         print("generating {} synthetic {}x{} frames under {} (one-time)...".format(
