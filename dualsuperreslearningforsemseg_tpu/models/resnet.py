@@ -115,6 +115,11 @@ class ResNet101(nn.Module):
         # outputs and recomputes the elementwise BN/relu chains
         # (dots_saveable); mode 2 saves only block boundaries.  Parameter
         # tree and numerics are unchanged (same ops, re-executed).
+        # MEASURED on v5e (stage-3 train, batch 16): mode 0 = 288 img/s,
+        # mode 1 = 277, mode 2 = 265 (more FLOPs, 0.285 -> 0.334 TF/img,
+        # but slower) — the backward's activation re-reads stay on the
+        # critical path either way, so remat only adds compute.  The knob
+        # stays, default off, for larger-batch/memory-pressure settings.
         from .. import settings as _settings
         remat_mode = getattr(_settings, 'BACKBONE_REMAT', 0)
         block_cls = Bottleneck
