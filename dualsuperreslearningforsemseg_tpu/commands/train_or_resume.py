@@ -48,7 +48,8 @@ from ..parallel import (make_mesh, batch_sharding, replicate, is_master_rank,
                         initialize_distributed, rendezvous_barrier,
                         pad_batch_to_shards, count_valid_fn)
 from ..train import (sgd_init, make_train_step, make_eval_step, TrainState,
-                     optimizer_state_dict, load_optimizer_state_dict)
+                     optimizer_state_dict, load_optimizer_state_dict,
+                     ungroup_pred_sample)
 from ..utils import (INFO, CAUTION, FATAL, ConditionalContextManager,
                      makeSecondsPretty, prevent_system_sleep)
 from ..utils.tb_writer import SummaryWriter
@@ -622,11 +623,13 @@ def _first_local_sample(arr):
 
 def _log_example_image(logger, img_hi, pred, ds_settings, epoch):
     """One random validation visualization per pass
-    (train_or_resume.py:484-494): denormalized input | seg | overlay."""
+    (train_or_resume.py:484-494): denormalized input | seg | overlay.
+    ``pred`` arrives in the eval step's grouped layout (or full-res under
+    --dry-run); only the one displayed sample is ungrouped, on host."""
     img = _first_local_sample(img_hi)  # (H, W, 3) normalized
     img = img * np.asarray(ds_settings.STD) + np.asarray(ds_settings.MEAN)
     img = np.clip(img * 255.0, 0.0, 255.0).astype(np.uint8).transpose(2, 0, 1)
-    pred0 = _first_local_sample(pred)
+    pred0 = ungroup_pred_sample(_first_local_sample(pred))
     logger.add_image("EXAMPLE",
                      make_input_output_visualization(img, pred0, ds_settings.CLASS_RGB_COLOR),
                      epoch)

@@ -60,9 +60,14 @@ def batch_histograms(pred: jnp.ndarray, target: jnp.ndarray, num_classes: int,
         # over the ~8M pixel indices costs ~100 ms/step on TPU; the
         # compare-and-reduce is pure vector math that XLA fuses (CLAUDE.md
         # perf rule 1: no dynamic gathers/scatters in hot device code).
-        flat = jnp.clip(v, 0, num_classes).reshape(-1, 1).astype(jnp.int32)
+        # Reduce in v's NATIVE shape: an earlier reshape(-1) formulation
+        # forced physical relayouts of the conv-tiled int tensors into
+        # linear layout (~14 ms/step of s32/pred copies in the v5e eval
+        # trace); the broadcast compare + all-axes reduce fuses in place.
         bins = jnp.arange(1, num_classes + 1, dtype=jnp.int32)
-        return jnp.sum((flat == bins).astype(jnp.int32), axis=0)
+        vc = jnp.clip(v, 0, num_classes).astype(jnp.int32)
+        return jnp.sum((vc[..., None] == bins).astype(jnp.int32),
+                       axis=tuple(range(vc.ndim)))
 
     # target1 for ignored pixels is 256 (=255+1): clip() would wrongly count
     # it into the last bin, so mask targets out of range explicitly.

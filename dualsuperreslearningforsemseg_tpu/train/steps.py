@@ -24,6 +24,7 @@ from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec
 
 from ..losses import cross_entropy_loss, mse_loss, fa_loss
@@ -224,8 +225,15 @@ def make_train_step(model, stage: int, w1: float, w2: float, momentum: float,
 def make_eval_step(model, stage: int, w1: float, w2: float, num_classes: int,
                    ignore_label: int = 255, dry_run: bool = False):
     """Returns jitted fn(params, batch_stats, img_lo, img_hi, seg, sample_mask)
-    -> (losses, pred (B,H,W) i32, (area_pred, area_inter, area_target),
-    (correct, valid)).
+    -> (losses, pred, (area_pred, area_inter, area_target), (correct, valid)).
+
+    ``pred`` is the class map in the decoder's GROUPED layout —
+    (B, H/4, W/4, 16) i32, nested g16 pixel order (ops/conv.py) — NOT full
+    resolution: its only consumer is the one-visualization-per-pass in the
+    validator, and the in-graph ungroup transpose cost ~1.2 ms/step on v5e
+    for data that is thrown away every other batch.  Use
+    :func:`ungroup_pred_sample` on the one sample you display.  (Under
+    ``dry_run`` the synthetic logits are full-res, so pred is (B, H, W).)
 
     ``sample_mask`` ((B,) f32, 1 = real sample) supports padding ragged final
     batches up to the device count: padded rows contribute nothing to any
@@ -253,12 +261,12 @@ def make_eval_step(model, stage: int, w1: float, w2: float, num_classes: int,
         else:
             # GROUPED layout end to end: CE, argmax and the metric
             # histograms are permutation-invariant over the pixel set, so
-            # they run on the (B, H/4, W/4, 16, C) logits directly and only
-            # the int32 CLASS MAP is interleaved back to full resolution —
-            # 19x less data through the 8-D ungroup transpose than the
-            # ungrouped path's logits (CLAUDE.md: the same interleave cost
-            # ~4 ms/step per pass in training before the grouped rework).
-            from ..ops.conv import group_labels, ungroup_2x2, pixel_unshuffle
+            # they run on the (B, H/4, W/4, 16, C) logits directly and
+            # NOTHING is interleaved back to full resolution in-graph —
+            # the class map is returned grouped (see docstring; the earlier
+            # in-graph ungroup cost ~1.2 ms/step, and before that the
+            # ungrouped-logits path cost ~4 ms/step per pass).
+            from ..ops.conv import group_labels, pixel_unshuffle
             sssr, sisr, sssr_t, sisr_t = model.apply(
                 {'params': params, 'batch_stats': batch_stats}, img_lo,
                 False, False, True)
@@ -285,13 +293,26 @@ def make_eval_step(model, stage: int, w1: float, w2: float, num_classes: int,
         total = ce + mse + fa
         hists = batch_histograms(pred, seg, num_classes, ignore_label)
         acc = batch_accuracy_counts(pred, seg, ignore_label)
-        if not dry_run:
-            # (B, H/4, W/4, 16) class map -> (B, H, W) for visualization.
-            pred = ungroup_2x2(pred[..., None])[..., 0]
         losses = {'CE': ce, 'MSE': mse, 'FA': fa, 'Total': total}
         return losses, pred, hists, acc
 
     return jax.jit(eval_step)
+
+
+def ungroup_pred_sample(pred_sample: np.ndarray) -> np.ndarray:
+    """Host-side inverse of the eval step's grouped class map for ONE sample:
+    (H/4, W/4, 16) nested-g16 -> (H, W).  Mirrors ops/conv.py::ungroup_2x2
+    (g = ((i*2+j)*2+k)*2+l at full-res pixel (4h+2i+k, 4w+2j+l)); numpy so
+    the per-pass visualization never pays a device transpose or a compile.
+    Full-res (H, W) input (the dry-run path) passes through unchanged."""
+    pred_sample = np.asarray(pred_sample)
+    if pred_sample.ndim == 2:
+        return pred_sample
+    h, w, g = pred_sample.shape
+    assert g == 16, "expected nested-g16 grouped sample, got {}".format(pred_sample.shape)
+    x = pred_sample.reshape(h, w, 2, 2, 2, 2)       # (h, w, i, j, k, l)
+    x = x.transpose(0, 2, 4, 1, 3, 5)               # (h, i, k, w, j, l)
+    return np.ascontiguousarray(x.reshape(4 * h, 4 * w))
 
 
 def _fa_masked(sssr_t, sisr_t, sample_mask):
