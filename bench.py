@@ -459,7 +459,8 @@ def _stage1_eval_throughput():
     stats = replicate(variables['batch_stats'], mesh)
     eval_step = make_eval_step(model, stage=1, w1=0.1, w2=1.0,
                                num_classes=cs.NUM_CLASSES,
-                               ignore_label=cs.IGNORE_CLASS_LABEL)
+                               ignore_label=cs.IGNORE_CLASS_LABEL,
+                               mesh=mesh)
 
     rng = np.random.default_rng(0)
     global_batch = BATCH * n_chips

@@ -63,7 +63,8 @@ def benchmark(weights, dataset, device, num_workers, batch_size, **other_args):
     batch_stats = replicate(variables['batch_stats'], mesh)
     eval_step = make_eval_step(model, stage=1, w1=0.0, w2=0.0,
                                num_classes=ds_settings.NUM_CLASSES,
-                               ignore_label=ds_settings.IGNORE_CLASS_LABEL)
+                               ignore_label=ds_settings.IGNORE_CLASS_LABEL,
+                               mesh=mesh)
     sharding = batch_sharding(mesh, 4)
     sharding3 = batch_sharding(mesh, 3)
     sharding1 = batch_sharding(mesh, 1)

@@ -211,7 +211,8 @@ def train_or_resume(is_resuming_training, device, distributed, mixed_precision,
                                  mesh, dry_run, ds_settings.NUM_CLASSES,
                                  post_fn=post_fn)
     eval_step = make_eval_step(model, stage, w1, w2, ds_settings.NUM_CLASSES,
-                               ds_settings.IGNORE_CLASS_LABEL, dry_run)
+                               ds_settings.IGNORE_CLASS_LABEL, dry_run,
+                               mesh=mesh)
 
     train_loader = Loader(dataset['class'](dataset['path'], split='train'),
                           batch_size=global_batch, shuffle=True,
@@ -611,14 +612,13 @@ def _val_epoch(state, eval_step, loader, eval_fn, mesh, epoch, stage, master,
 
 
 
-def _first_local_sample(arr):
-    """First sample of a (possibly multi-process sharded) batch.  A global
-    array is not fully addressable from one process, so fetch one local
-    shard rather than jax.device_get-ing the whole thing."""
+def _first_local_sample(arr, axis=0):
+    """First sample (along ``axis``) of a (possibly multi-process sharded)
+    batch.  A global array is not fully addressable from one process, so
+    fetch one local shard rather than jax.device_get-ing the whole thing."""
     shards = getattr(arr, 'addressable_shards', None)
-    if shards:
-        return np.asarray(shards[0].data)[0]
-    return np.asarray(jax.device_get(arr))[0]
+    local = np.asarray(shards[0].data) if shards else np.asarray(jax.device_get(arr))
+    return np.take(local, 0, axis=axis)
 
 
 def _log_example_image(logger, img_hi, pred, ds_settings, epoch):
@@ -629,7 +629,10 @@ def _log_example_image(logger, img_hi, pred, ds_settings, epoch):
     img = _first_local_sample(img_hi)  # (H, W, 3) normalized
     img = img * np.asarray(ds_settings.STD) + np.asarray(ds_settings.MEAN)
     img = np.clip(img * 255.0, 0.0, 255.0).astype(np.uint8).transpose(2, 0, 1)
-    pred0 = ungroup_pred_sample(_first_local_sample(pred))
+    # The fused eval tail returns the class map g16-major with the sample
+    # axis SECOND — (16, B, h, w); the other layouts are sample-major.
+    sample_axis = 1 if (pred.ndim == 4 and pred.shape[0] == 16) else 0
+    pred0 = ungroup_pred_sample(_first_local_sample(pred, axis=sample_axis))
     logger.add_image("EXAMPLE",
                      make_input_output_visualization(img, pred0, ds_settings.CLASS_RGB_COLOR),
                      epoch)

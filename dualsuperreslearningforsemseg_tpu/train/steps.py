@@ -223,22 +223,129 @@ def make_train_step(model, stage: int, w1: float, w2: float, momentum: float,
 
 
 def make_eval_step(model, stage: int, w1: float, w2: float, num_classes: int,
-                   ignore_label: int = 255, dry_run: bool = False):
-    """Returns jitted fn(params, batch_stats, img_lo, img_hi, seg, sample_mask)
+                   ignore_label: int = 255, dry_run: bool = False,
+                   mesh=None, fused_tail: bool = True):
+    """Returns fn(params, batch_stats, img_lo, img_hi, seg, sample_mask)
     -> (losses, pred, (area_pred, area_inter, area_target), (correct, valid)).
 
-    ``pred`` is the class map in the decoder's GROUPED layout —
-    (B, H/4, W/4, 16) i32, nested g16 pixel order (ops/conv.py) — NOT full
-    resolution: its only consumer is the one-visualization-per-pass in the
-    validator, and the in-graph ungroup transpose cost ~1.2 ms/step on v5e
-    for data that is thrown away every other batch.  Use
-    :func:`ungroup_pred_sample` on the one sample you display.  (Under
-    ``dry_run`` the synthetic logits are full-res, so pred is (B, H, W).)
+    The default path runs the FUSED EVAL TAIL (ops/pallas/eval_tail.py): the
+    model returns the pre-ConvT cols carry and one Pallas pass computes the
+    final ConvT + CE + argmax + all metric reductions with the logits
+    resident only in VMEM — the XLA composition spent ~8 ms/step on v5e
+    materializing and re-reading the 318 MB grouped logits.  ``fused_tail=
+    False``, ``dry_run``, or a spatial mesh fall back to the XLA path (the
+    kernel's flattened operands don't shard over an H axis — same rule as
+    the train step).
+
+    ``pred`` is the class map in a compact layout — its only consumer is the
+    one-visualization-per-pass in the validator, so no path pays a full-res
+    interleave for data thrown away every other batch (the in-graph ungroup
+    cost ~1.2 ms/step).  Fused path: (16, B, H/4, W/4) i32 g16-major; XLA
+    fallback: (B, H/4, W/4, 16) nested-grouped; dry_run: (B, H, W) full-res.
+    :func:`ungroup_pred_sample` reconstructs (H, W) from any of the three.
 
     ``sample_mask`` ((B,) f32, 1 = real sample) supports padding ragged final
     batches up to the device count: padded rows contribute nothing to any
     loss or metric, so drop_last=False evaluation is exact on a sharded mesh.
+
+    On a multi-device ``mesh`` the fused path shard_maps the kernel over the
+    batch-major rows (GSPMD has no partitioning rule for pallas_call) and
+    psums the scalar/vector reductions; pass the mesh whenever eval inputs
+    are sharded.
     """
+    spatial = mesh is not None and mesh.shape.get('spatial', 1) > 1
+    use_fused = fused_tail and not dry_run and not spatial
+
+    def _aux_losses(sisr, sssr_t, sisr_t, img_hi, sample_mask, unshuffle):
+        """MSE + FA with ragged-batch masking (shared by both paths)."""
+        if stage > 1:
+            if unshuffle:
+                # Grouped SISR stays in pre-shuffle layout; unshuffling the
+                # target instead is the same multiset of squared differences.
+                from ..ops.conv import pixel_unshuffle
+                img_hi = pixel_unshuffle(img_hi, 8)
+            per_sample_mse = jnp.mean(
+                (sisr.astype(jnp.float32) - img_hi.astype(jnp.float32)) ** 2,
+                axis=(1, 2, 3))
+            mse = w1 * jnp.sum(per_sample_mse * sample_mask) / jnp.maximum(
+                sample_mask.sum(), 1)
+        else:
+            mse = jnp.float32(0)
+        if stage > 2:
+            # FA averages per (batch, channel) slice; reweight by sample mask.
+            fa = w2 * _fa_masked(sssr_t, sisr_t, sample_mask)
+        else:
+            fa = jnp.float32(0)
+        return mse, fa
+
+    if use_fused:
+        from ..ops.pallas.eval_tail import convt_cols_eval
+        from ..ops.pallas.fused_tail import pack_tail_params_cols
+        from ..ops.conv import group_labels_g16_t
+        from ..utils.backend import resolve_backend
+        interpret = resolve_backend() != 'tpu'
+        multi_dev = mesh is not None and mesh.devices.size > 1
+
+        def eval_core(params, batch_stats, img_lo, img_hi, labs_t, sample_mask):
+            b = img_lo.shape[0]
+            # Mask padded samples in the label operand itself (columns are
+            # batch-major): every pixel becomes ignore, removing them from
+            # CE and all metric reductions.
+            lt = labs_t.reshape(16, b, -1)
+            lt = jnp.where(sample_mask[None, :, None] > 0, lt,
+                           jnp.uint8(ignore_label))
+            labs_t = lt.reshape(16, -1)
+
+            sssr, sisr, sssr_t, sisr_t = model.apply(
+                {'params': params, 'batch_stats': batch_stats}, img_lo,
+                False, False, True, True)   # grouped + pre_tail
+            tail = params['SSSR_decoder']['upsample16_pred.6']
+            wp, bp = pack_tail_params_cols(tail['weight'], tail['bias'])
+            bb, h, w, c = sssr.shape
+            x = sssr.reshape(bb * h * w, c)
+
+            def per_shard(x, wp, bp, labs_t):
+                pred, ce_sum, cnt, hp, hi, ht, cor = convt_cols_eval(
+                    x, wp, bp, labs_t, ignore_label, num_classes, interpret)
+                if multi_dev:
+                    ce_sum, cnt, cor = (jax.lax.psum(v, 'data')
+                                        for v in (ce_sum, cnt, cor))
+                    hp, hi, ht = (jax.lax.psum(v, 'data')
+                                  for v in (hp, hi, ht))
+                return pred, ce_sum, cnt, hp, hi, ht, cor
+
+            if multi_dev:
+                # Explicit batch-sharding (rows / label columns / class-map
+                # columns are batch-major): GSPMD has no partitioning rule
+                # for pallas_call and would otherwise gather the full batch
+                # onto every device.
+                from jax.sharding import PartitionSpec as P
+                per_shard = jax.shard_map(
+                    per_shard, mesh=mesh,
+                    in_specs=(P('data'), P(), P(), P(None, 'data')),
+                    out_specs=(P(None, 'data'), P(), P(), P(), P(), P(), P()),
+                    check_vma=False)
+            pred, ce_sum, cnt, hp, hi, ht, cor = per_shard(x, wp, bp, labs_t)
+
+            ce = jnp.where(cnt > 0, ce_sum / jnp.maximum(cnt, 1.0), 0.0)
+            mse, fa = _aux_losses(sisr, sssr_t, sisr_t, img_hi, sample_mask,
+                                  unshuffle=True)
+            losses = {'CE': ce, 'MSE': mse, 'FA': fa, 'Total': ce + mse + fa}
+            acc = (cor.astype(jnp.int32), cnt.astype(jnp.int32))
+            return losses, pred.reshape(16, bb, h, w), (hp, hi, ht), acc
+
+        core = jax.jit(eval_core)
+        # The g16 label build runs in its OWN dispatch: standalone it is a
+        # memory-speed shuffle, but embedded next to the pallas consumer
+        # XLA's layout assignment staged it through ~7 ms/step of relayouts
+        # (ops/conv.py::group_labels_g16_t, measured on the train step).
+        labs_fn = jax.jit(group_labels_g16_t)
+
+        def eval_fn(params, batch_stats, img_lo, img_hi, seg, sample_mask):
+            return core(params, batch_stats, img_lo, img_hi, labs_fn(seg),
+                        sample_mask)
+
+        return eval_fn
 
     def eval_step(params, batch_stats, img_lo, img_hi, seg, sample_mask):
         # Mask padded samples out of the label tensor: every pixel becomes
@@ -266,7 +373,7 @@ def make_eval_step(model, stage: int, w1: float, w2: float, num_classes: int,
             # the class map is returned grouped (see docstring; the earlier
             # in-graph ungroup cost ~1.2 ms/step, and before that the
             # ungrouped-logits path cost ~4 ms/step per pass).
-            from ..ops.conv import group_labels, pixel_unshuffle
+            from ..ops.conv import group_labels
             sssr, sisr, sssr_t, sisr_t = model.apply(
                 {'params': params, 'batch_stats': batch_stats}, img_lo,
                 False, False, True)
@@ -274,22 +381,8 @@ def make_eval_step(model, stage: int, w1: float, w2: float, num_classes: int,
             ce = cross_entropy_loss(sssr, seg, ignore_label)
             pred = argmax_lastdim(sssr)
 
-        if stage > 1:
-            if not dry_run:
-                # Grouped SISR stays in pre-shuffle layout; unshuffling the
-                # target instead is the same multiset of squared differences.
-                img_hi = pixel_unshuffle(img_hi, 8)
-            per_sample_mse = jnp.mean(
-                (sisr.astype(jnp.float32) - img_hi.astype(jnp.float32)) ** 2,
-                axis=(1, 2, 3))
-            mse = w1 * jnp.sum(per_sample_mse * sample_mask) / jnp.maximum(sample_mask.sum(), 1)
-        else:
-            mse = jnp.float32(0)
-        if stage > 2:
-            # FA averages per (batch, channel) slice; reweight by sample mask.
-            fa = w2 * _fa_masked(sssr_t, sisr_t, sample_mask)
-        else:
-            fa = jnp.float32(0)
+        mse, fa = _aux_losses(sisr, sssr_t, sisr_t, img_hi, sample_mask,
+                              unshuffle=not dry_run)
         total = ce + mse + fa
         hists = batch_histograms(pred, seg, num_classes, ignore_label)
         acc = batch_accuracy_counts(pred, seg, ignore_label)
@@ -300,18 +393,34 @@ def make_eval_step(model, stage: int, w1: float, w2: float, num_classes: int,
 
 
 def ungroup_pred_sample(pred_sample: np.ndarray) -> np.ndarray:
-    """Host-side inverse of the eval step's grouped class map for ONE sample:
-    (H/4, W/4, 16) nested-g16 -> (H, W).  Mirrors ops/conv.py::ungroup_2x2
-    (g = ((i*2+j)*2+k)*2+l at full-res pixel (4h+2i+k, 4w+2j+l)); numpy so
-    the per-pass visualization never pays a device transpose or a compile.
-    Full-res (H, W) input (the dry-run path) passes through unchanged."""
+    """Host-side inverse of the eval step's compact class map for ONE sample
+    -> (H, W) full resolution; numpy so the per-pass visualization never
+    pays a device transpose or a compile.  Accepts all three eval layouts
+    (make_eval_step docstring), distinguished by shape:
+
+    * (16, H/4, W/4) g16-major (fused eval tail; g = ((i*2+j)*2+k)*2+l at
+      full-res pixel (4h+2i+k, 4w+2j+l), like the label operand of
+      ops/conv.py::group_labels_g16_t),
+    * (H/4, W/4, 16) nested-grouped (XLA fallback; ops/conv.py::ungroup_2x2),
+    * (H, W) full-res (dry_run), passed through unchanged.
+    """
     pred_sample = np.asarray(pred_sample)
     if pred_sample.ndim == 2:
         return pred_sample
-    h, w, g = pred_sample.shape
-    assert g == 16, "expected nested-g16 grouped sample, got {}".format(pred_sample.shape)
-    x = pred_sample.reshape(h, w, 2, 2, 2, 2)       # (h, w, i, j, k, l)
-    x = x.transpose(0, 2, 4, 1, 3, 5)               # (h, i, k, w, j, l)
+    assert pred_sample.ndim == 3 and 16 in (pred_sample.shape[0], pred_sample.shape[-1]), \
+        "expected a grouped class-map sample, got {}".format(pred_sample.shape)
+    if pred_sample.shape[0] == 16:
+        assert pred_sample.shape[-1] != 16, \
+            "ambiguous (16, x, 16) sample — disambiguate at the caller"
+        g16, h, w = True, pred_sample.shape[1], pred_sample.shape[2]
+    else:
+        g16, h, w = False, pred_sample.shape[0], pred_sample.shape[1]
+    if g16:
+        x = pred_sample.reshape(2, 2, 2, 2, h, w)   # (i, j, k, l, h, w)
+        x = x.transpose(4, 0, 2, 5, 1, 3)           # (h, i, k, w, j, l)
+    else:
+        x = pred_sample.reshape(h, w, 2, 2, 2, 2)   # (h, w, i, j, k, l)
+        x = x.transpose(0, 2, 4, 1, 3, 5)           # (h, i, k, w, j, l)
     return np.ascontiguousarray(x.reshape(4 * h, 4 * w))
 
 

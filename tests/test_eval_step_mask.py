@@ -60,10 +60,15 @@ def test_grouped_eval_matches_ungrouped_reference(rng):
                                rtol=2e-5, atol=1e-6)
     np.testing.assert_allclose(float(losses['FA']), float(fa_ref),
                                rtol=1e-4, atol=1e-6)
-    # pred comes back in the eval step's grouped layout; the host-side
-    # per-sample ungroup must reproduce the full-res class map exactly.
+    # pred comes back in a compact layout — (16, B, h, w) g16-major on the
+    # fused-tail path, (B, h, w, 16) grouped on the XLA fallback; the
+    # host-side per-sample ungroup must reproduce the full-res map exactly.
     from dualsuperreslearningforsemseg_tpu.train import ungroup_pred_sample
-    pred_full = np.stack([ungroup_pred_sample(np.asarray(p)) for p in pred])
+    pred = np.asarray(pred)
+    samples = ([pred[:, i] for i in range(pred.shape[1])]
+               if pred.ndim == 4 and pred.shape[0] == 16
+               else list(pred))
+    pred_full = np.stack([ungroup_pred_sample(p) for p in samples])
     # The class maps may flip only where the einsum-order noise ties the
     # top-2 logits (measure-zero on random data).
     mismatch = int(np.sum(pred_full != np.asarray(pred_ref)))
@@ -106,3 +111,43 @@ def test_padding_is_exact_stage3(rng):
         np.testing.assert_array_equal(np.asarray(h_ref), np.asarray(h_pad))
     assert int(acc_ref[0]) == int(acc_pad[0])
     assert int(acc_ref[1]) == int(acc_pad[1])
+
+
+def test_fused_eval_matches_xla_fallback(rng):
+    """make_eval_step's fused Pallas tail (default) and its XLA fallback
+    (fused_tail=False) must agree on every loss, histogram and count, and
+    their class maps must reconstruct to the same full-res image."""
+    from dualsuperreslearningforsemseg_tpu.train import ungroup_pred_sample
+
+    model, variables, hw = _setup(3)
+    ohw = (2 * hw[0], 2 * hw[1])
+    b = 2
+    img_lo = jnp.asarray(rng.standard_normal((b, *hw, 3), dtype=np.float32))
+    img_hi = jnp.asarray(rng.standard_normal((b, *ohw, 3), dtype=np.float32))
+    seg = jnp.asarray(rng.integers(0, 19, size=(b, *ohw)).astype(np.int32))
+    seg = seg.at[1, -7:].set(255)
+    mask = jnp.ones((b,), jnp.float32)
+
+    fused = make_eval_step(model, 3, 0.1, 1.0, 19, 255)
+    plain = make_eval_step(model, 3, 0.1, 1.0, 19, 255, fused_tail=False)
+    args = (variables['params'], variables['batch_stats'],
+            img_lo, img_hi, seg, mask)
+    losses_f, pred_f, hists_f, acc_f = fused(*args)
+    losses_p, pred_p, hists_p, acc_p = plain(*args)
+
+    for k in losses_p:
+        np.testing.assert_allclose(float(losses_f[k]), float(losses_p[k]),
+                                   rtol=2e-5, atol=1e-6)
+    for h_f, h_p in zip(hists_f, hists_p):
+        assert int(jnp.abs(h_f - h_p).sum()) <= 4  # argmax tie noise bound
+    assert abs(int(acc_f[0]) - int(acc_p[0])) <= 2
+    assert int(acc_f[1]) == int(acc_p[1])
+
+    pred_f = np.asarray(pred_f)   # (16, B, h, w) g16-major
+    pred_p = np.asarray(pred_p)   # (B, h, w, 16) grouped
+    assert pred_f.shape[0] == 16 and pred_f.shape[1] == b
+    for i in range(b):
+        a = ungroup_pred_sample(pred_f[:, i])
+        c = ungroup_pred_sample(pred_p[i])
+        assert a.shape == c.shape == ohw
+        assert int(np.sum(a != c)) <= 2
