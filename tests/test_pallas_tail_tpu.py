@@ -74,3 +74,60 @@ def test_fused_tail_compiled_all_pixels_ignored(rng):
     g = jax.jit(jax.grad(
         lambda y: fused_convt2_ce_mean(y, wt, bi, labs_all, 255)))(y1c)
     assert float(jnp.max(jnp.abs(g))) == 0.0
+
+
+def test_eval_tail_compiled_matches_xla(rng):
+    """Compiled eval-tail kernel (ops/pallas/eval_tail.py) vs the XLA
+    composition, on TPU: CE, class map, histogram areas, accuracy counts."""
+    from dualsuperreslearningforsemseg_tpu.metrics.device import (
+        argmax_lastdim, batch_histograms, batch_accuracy_counts)
+    from dualsuperreslearningforsemseg_tpu.ops.conv import (
+        conv_transpose_2x2_stride2, ungroup_2x2)
+    from dualsuperreslearningforsemseg_tpu.ops.pallas.eval_tail import fused_convt2_eval
+    from tail_layout import ungroup_g16t_sample
+
+    y1, wt, bi, _, seg = _case(rng)
+
+    @jax.jit
+    def ref_ce(y1, wt, bi):
+        # 'highest' keeps the scalar CE reference in f32 on the MXU.
+        with jax.default_matmul_precision('highest'):
+            logits = conv_transpose_2x2_stride2(ungroup_2x2(y1), wt, bi)
+            return cross_entropy_loss(logits, seg, 255)
+
+    @jax.jit
+    def ref_discrete(y1, wt, bi):
+        # The DISCRETE outputs (argmax and everything derived from it) are
+        # compared at the TPU's default matmul precision — random logits tie
+        # the top-2 classes within bf16 rounding on ~0.1% of pixels, so a
+        # 'highest'-precision reference flips those arbitrarily (68/65536
+        # measured).  Matched precision leaves only accumulation-order flips.
+        logits = conv_transpose_2x2_stride2(ungroup_2x2(y1), wt, bi)
+        pred = argmax_lastdim(logits)
+        return (pred, batch_histograms(pred, seg, 19, 255),
+                batch_accuracy_counts(pred, seg, 255))
+
+    labs_t = group_labels_g16_t(seg)
+
+    @jax.jit
+    def fused(y1, wt, bi):
+        return fused_convt2_eval(to_cols(y1), wt, bi, labs_t, 255, 19)
+
+    ce_ref = ref_ce(y1, wt, bi)
+    pred_ref, hists_ref, acc_ref = ref_discrete(y1, wt, bi)
+    pred_t, ce, hists, acc = fused(y1, wt, bi)
+
+    n_pix = seg.size
+    tie_budget = max(8, n_pix // 500)   # residual reassociation tie flips
+    np.testing.assert_allclose(float(ce), float(ce_ref), rtol=1e-4)
+    for h_new, h_ref in zip(hists, hists_ref):
+        assert int(jnp.abs(h_new - h_ref).sum()) <= 2 * tie_budget
+    assert abs(int(acc[0]) - int(acc_ref[0])) <= tie_budget
+    assert int(acc[1]) == int(acc_ref[1])
+
+    b, hh, ww = seg.shape
+    pred_t = np.asarray(pred_t).reshape(16, b, hh // 4, ww // 4)
+    full = np.stack([ungroup_g16t_sample(pred_t[:, i]) for i in range(b)])
+    mismatch = int(np.sum(full != np.asarray(pred_ref)))
+    assert mismatch <= tie_budget, \
+        "class maps diverge on {} pixels".format(mismatch)
