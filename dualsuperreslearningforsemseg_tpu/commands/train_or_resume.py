@@ -585,7 +585,9 @@ def _val_epoch(state, eval_step, loader, eval_fn, mesh, epoch, stage, master,
             if master:
                 progressbar.update()
                 if i == example_index:
-                    _log_example_image(logger, img_hi, pred, ds_settings, epoch)
+                    _log_example_image(logger, img_hi, pred,
+                                       eval_step.pred_layout, ds_settings,
+                                       epoch)
 
     for losses, hists, acc, n_dev in pending:
         _update_meters((losses, int(jax.device_get(n_dev))),
@@ -621,18 +623,20 @@ def _first_local_sample(arr, axis=0):
     return np.take(local, 0, axis=axis)
 
 
-def _log_example_image(logger, img_hi, pred, ds_settings, epoch):
+def _log_example_image(logger, img_hi, pred, pred_layout, ds_settings, epoch):
     """One random validation visualization per pass
     (train_or_resume.py:484-494): denormalized input | seg | overlay.
-    ``pred`` arrives in the eval step's grouped layout (or full-res under
-    --dry-run); only the one displayed sample is ungrouped, on host."""
+    ``pred`` arrives in the eval step's compact layout (``pred_layout`` =
+    the step's ``fn.pred_layout``); only the one displayed sample is
+    reconstructed, on host."""
     img = _first_local_sample(img_hi)  # (H, W, 3) normalized
     img = img * np.asarray(ds_settings.STD) + np.asarray(ds_settings.MEAN)
     img = np.clip(img * 255.0, 0.0, 255.0).astype(np.uint8).transpose(2, 0, 1)
-    # The fused eval tail returns the class map g16-major with the sample
-    # axis SECOND — (16, B, h, w); the other layouts are sample-major.
-    sample_axis = 1 if (pred.ndim == 4 and pred.shape[0] == 16) else 0
-    pred0 = ungroup_pred_sample(_first_local_sample(pred, axis=sample_axis))
+    # The fused ('g16') layout carries the sample axis SECOND — (16, B, h,
+    # w); the other layouts are sample-major.
+    sample_axis = 1 if pred_layout == 'g16' else 0
+    pred0 = ungroup_pred_sample(_first_local_sample(pred, axis=sample_axis),
+                                pred_layout)
     logger.add_image("EXAMPLE",
                      make_input_output_visualization(img, pred0, ds_settings.CLASS_RGB_COLOR),
                      epoch)

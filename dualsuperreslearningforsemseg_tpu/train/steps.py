@@ -240,9 +240,12 @@ def make_eval_step(model, stage: int, w1: float, w2: float, num_classes: int,
     ``pred`` is the class map in a compact layout — its only consumer is the
     one-visualization-per-pass in the validator, so no path pays a full-res
     interleave for data thrown away every other batch (the in-graph ungroup
-    cost ~1.2 ms/step).  Fused path: (16, B, H/4, W/4) i32 g16-major; XLA
-    fallback: (B, H/4, W/4, 16) nested-grouped; dry_run: (B, H, W) full-res.
-    :func:`ungroup_pred_sample` reconstructs (H, W) from any of the three.
+    cost ~1.2 ms/step).  The layout is published on the returned callable as
+    ``fn.pred_layout`` (shapes alone cannot distinguish them — a batch of 16
+    looks like the g16 axis): ``'g16'`` = (16, B, H/4, W/4) i32 g16-major
+    (fused path, sample axis SECOND), ``'grouped'`` = (B, H/4, W/4, 16)
+    nested-grouped (XLA fallback), ``'full'`` = (B, H, W) (dry_run).
+    :func:`ungroup_pred_sample` reconstructs (H, W) given sample + layout.
 
     ``sample_mask`` ((B,) f32, 1 = real sample) supports padding ragged final
     batches up to the device count: padded rows contribute nothing to any
@@ -307,6 +310,13 @@ def make_eval_step(model, stage: int, w1: float, w2: float, num_classes: int,
             def per_shard(x, wp, bp, labs_t):
                 pred, ce_sum, cnt, hp, hi, ht, cor = convt_cols_eval(
                     x, wp, bp, labs_t, ignore_label, num_classes, interpret)
+                # Counts leave the kernel as f32 (exact per shard, < 2^24
+                # pixels) but must cross the collective as integers: an f32
+                # psum of per-chip 8.4M-pixel counts loses exactness at two
+                # chips (16.8M > 2^24), breaking the metric's bit-parity
+                # with the reference.  The histogram areas are already i32.
+                cnt = cnt.astype(jnp.int32)
+                cor = cor.astype(jnp.int32)
                 if multi_dev:
                     ce_sum, cnt, cor = (jax.lax.psum(v, 'data')
                                         for v in (ce_sum, cnt, cor))
@@ -327,12 +337,12 @@ def make_eval_step(model, stage: int, w1: float, w2: float, num_classes: int,
                     check_vma=False)
             pred, ce_sum, cnt, hp, hi, ht, cor = per_shard(x, wp, bp, labs_t)
 
-            ce = jnp.where(cnt > 0, ce_sum / jnp.maximum(cnt, 1.0), 0.0)
+            cnt_f = cnt.astype(jnp.float32)
+            ce = jnp.where(cnt > 0, ce_sum / jnp.maximum(cnt_f, 1.0), 0.0)
             mse, fa = _aux_losses(sisr, sssr_t, sisr_t, img_hi, sample_mask,
                                   unshuffle=True)
             losses = {'CE': ce, 'MSE': mse, 'FA': fa, 'Total': ce + mse + fa}
-            acc = (cor.astype(jnp.int32), cnt.astype(jnp.int32))
-            return losses, pred.reshape(16, bb, h, w), (hp, hi, ht), acc
+            return losses, pred.reshape(16, bb, h, w), (hp, hi, ht), (cor, cnt)
 
         core = jax.jit(eval_core)
         # The g16 label build runs in its OWN dispatch: standalone it is a
@@ -345,6 +355,7 @@ def make_eval_step(model, stage: int, w1: float, w2: float, num_classes: int,
             return core(params, batch_stats, img_lo, img_hi, labs_fn(seg),
                         sample_mask)
 
+        eval_fn.pred_layout = 'g16'
         return eval_fn
 
     def eval_step(params, batch_stats, img_lo, img_hi, seg, sample_mask):
@@ -389,38 +400,48 @@ def make_eval_step(model, stage: int, w1: float, w2: float, num_classes: int,
         losses = {'CE': ce, 'MSE': mse, 'FA': fa, 'Total': total}
         return losses, pred, hists, acc
 
-    return jax.jit(eval_step)
+    jitted = jax.jit(eval_step)
+
+    def eval_fallback(params, batch_stats, img_lo, img_hi, seg, sample_mask):
+        return jitted(params, batch_stats, img_lo, img_hi, seg, sample_mask)
+
+    eval_fallback.pred_layout = 'full' if dry_run else 'grouped'
+    return eval_fallback
 
 
-def ungroup_pred_sample(pred_sample: np.ndarray) -> np.ndarray:
+def ungroup_pred_sample(pred_sample: np.ndarray, layout: str) -> np.ndarray:
     """Host-side inverse of the eval step's compact class map for ONE sample
     -> (H, W) full resolution; numpy so the per-pass visualization never
-    pays a device transpose or a compile.  Accepts all three eval layouts
-    (make_eval_step docstring), distinguished by shape:
+    pays a device transpose or a compile.
 
-    * (16, H/4, W/4) g16-major (fused eval tail; g = ((i*2+j)*2+k)*2+l at
-      full-res pixel (4h+2i+k, 4w+2j+l), like the label operand of
-      ops/conv.py::group_labels_g16_t),
-    * (H/4, W/4, 16) nested-grouped (XLA fallback; ops/conv.py::ungroup_2x2),
-    * (H, W) full-res (dry_run), passed through unchanged.
+    ``layout`` is the producing eval step's ``fn.pred_layout`` — it must be
+    passed explicitly because shapes cannot distinguish the layouts (a
+    grouped sample with batch-or-height 16 is ambiguous):
+
+    * ``'g16'``: (16, H/4, W/4) g16-major (fused eval tail; row
+      g = ((i*2+j)*2+k)*2+l holds full-res pixel (4h+2i+k, 4w+2j+l), like
+      the label operand of ops/conv.py::group_labels_g16_t),
+    * ``'grouped'``: (H/4, W/4, 16) nested-grouped (XLA fallback;
+      ops/conv.py::ungroup_2x2),
+    * ``'full'``: (H, W) full-res (dry_run), passed through unchanged.
     """
     pred_sample = np.asarray(pred_sample)
-    if pred_sample.ndim == 2:
+    if layout == 'full':
+        assert pred_sample.ndim == 2, pred_sample.shape
         return pred_sample
-    assert pred_sample.ndim == 3 and 16 in (pred_sample.shape[0], pred_sample.shape[-1]), \
-        "expected a grouped class-map sample, got {}".format(pred_sample.shape)
-    if pred_sample.shape[0] == 16:
-        assert pred_sample.shape[-1] != 16, \
-            "ambiguous (16, x, 16) sample — disambiguate at the caller"
-        g16, h, w = True, pred_sample.shape[1], pred_sample.shape[2]
-    else:
-        g16, h, w = False, pred_sample.shape[0], pred_sample.shape[1]
-    if g16:
+    assert pred_sample.ndim == 3, pred_sample.shape
+    if layout == 'g16':
+        assert pred_sample.shape[0] == 16, pred_sample.shape
+        h, w = pred_sample.shape[1], pred_sample.shape[2]
         x = pred_sample.reshape(2, 2, 2, 2, h, w)   # (i, j, k, l, h, w)
         x = x.transpose(4, 0, 2, 5, 1, 3)           # (h, i, k, w, j, l)
-    else:
+    elif layout == 'grouped':
+        assert pred_sample.shape[-1] == 16, pred_sample.shape
+        h, w = pred_sample.shape[0], pred_sample.shape[1]
         x = pred_sample.reshape(h, w, 2, 2, 2, 2)   # (h, w, i, j, k, l)
         x = x.transpose(0, 2, 4, 1, 3, 5)           # (h, i, k, w, j, l)
+    else:
+        raise ValueError("unknown eval pred layout {!r}".format(layout))
     return np.ascontiguousarray(x.reshape(4 * h, 4 * w))
 
 

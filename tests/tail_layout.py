@@ -17,16 +17,3 @@ def to_cols(y1):
     b, h, w, g, c = y1.shape
     y = jnp.pad(y1, ((0, 0),) * 4 + ((0, TAIL_COL_BLOCK - c),))
     return y.reshape(b, h, w, g * TAIL_COL_BLOCK)
-
-
-def ungroup_g16t_sample(x):
-    """(16, h, w) g16-major (row ((i*2+j)*2+k)*2+l, the label/eval-tail
-    operand layout of ops/conv.py::group_labels_g16_t) -> (4h, 4w) full-res
-    for ONE sample, in numpy.  Full-res pixel (4h + 2i + k, 4w + 2j + l)."""
-    import numpy as np
-    x = np.asarray(x)
-    g, h, w = x.shape
-    assert g == 16, "expected g16-major sample, got {}".format(x.shape)
-    x = x.reshape(2, 2, 2, 2, h, w)            # (i, j, k, l, h, w)
-    x = x.transpose(4, 0, 2, 5, 1, 3)          # (h, i, k, w, j, l)
-    return np.ascontiguousarray(x.reshape(4 * h, 4 * w))

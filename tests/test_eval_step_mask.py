@@ -60,15 +60,15 @@ def test_grouped_eval_matches_ungrouped_reference(rng):
                                rtol=2e-5, atol=1e-6)
     np.testing.assert_allclose(float(losses['FA']), float(fa_ref),
                                rtol=1e-4, atol=1e-6)
-    # pred comes back in a compact layout — (16, B, h, w) g16-major on the
-    # fused-tail path, (B, h, w, 16) grouped on the XLA fallback; the
-    # host-side per-sample ungroup must reproduce the full-res map exactly.
+    # pred comes back in the compact layout the step PUBLISHES via
+    # fn.pred_layout; the host-side per-sample ungroup must reproduce the
+    # full-res map exactly.
     from dualsuperreslearningforsemseg_tpu.train import ungroup_pred_sample
+    layout = eval_step.pred_layout
     pred = np.asarray(pred)
     samples = ([pred[:, i] for i in range(pred.shape[1])]
-               if pred.ndim == 4 and pred.shape[0] == 16
-               else list(pred))
-    pred_full = np.stack([ungroup_pred_sample(p) for p in samples])
+               if layout == 'g16' else list(pred))
+    pred_full = np.stack([ungroup_pred_sample(p, layout) for p in samples])
     # The class maps may flip only where the einsum-order noise ties the
     # top-2 logits (measure-zero on random data).
     mismatch = int(np.sum(pred_full != np.asarray(pred_ref)))
@@ -143,11 +143,12 @@ def test_fused_eval_matches_xla_fallback(rng):
     assert abs(int(acc_f[0]) - int(acc_p[0])) <= 2
     assert int(acc_f[1]) == int(acc_p[1])
 
+    assert fused.pred_layout == 'g16' and plain.pred_layout == 'grouped'
     pred_f = np.asarray(pred_f)   # (16, B, h, w) g16-major
     pred_p = np.asarray(pred_p)   # (B, h, w, 16) grouped
     assert pred_f.shape[0] == 16 and pred_f.shape[1] == b
     for i in range(b):
-        a = ungroup_pred_sample(pred_f[:, i])
-        c = ungroup_pred_sample(pred_p[i])
+        a = ungroup_pred_sample(pred_f[:, i], 'g16')
+        c = ungroup_pred_sample(pred_p[i], 'grouped')
         assert a.shape == c.shape == ohw
         assert int(np.sum(a != c)) <= 2

@@ -19,7 +19,8 @@ from dualsuperreslearningforsemseg_tpu.ops.conv import (
     conv_transpose_2x2_stride2, group_labels_g16_t)
 from dualsuperreslearningforsemseg_tpu.ops.pallas.eval_tail import fused_convt2_eval
 
-from tail_layout import to_cols, ungroup_g16t_sample
+from dualsuperreslearningforsemseg_tpu.train import ungroup_pred_sample
+from tail_layout import to_cols
 
 
 def _case(rng, b=2, h=8, w=16, ignore_rows=5):
@@ -63,7 +64,7 @@ def test_eval_tail_matches_xla(rng):
     # argmax exactly (same einsum order on both sides -> bit-identical).
     b, hh, ww = seg.shape
     pred_t = np.asarray(pred_t).reshape(16, b, hh // 4, ww // 4)
-    full = np.stack([ungroup_g16t_sample(pred_t[:, i]) for i in range(b)])
+    full = np.stack([ungroup_pred_sample(pred_t[:, i], 'g16') for i in range(b)])
     np.testing.assert_array_equal(full, np.asarray(pred_ref))
 
 

@@ -84,7 +84,7 @@ def test_eval_tail_compiled_matches_xla(rng):
     from dualsuperreslearningforsemseg_tpu.ops.conv import (
         conv_transpose_2x2_stride2, ungroup_2x2)
     from dualsuperreslearningforsemseg_tpu.ops.pallas.eval_tail import fused_convt2_eval
-    from tail_layout import ungroup_g16t_sample
+    from dualsuperreslearningforsemseg_tpu.train import ungroup_pred_sample
 
     y1, wt, bi, _, seg = _case(rng)
 
@@ -127,7 +127,7 @@ def test_eval_tail_compiled_matches_xla(rng):
 
     b, hh, ww = seg.shape
     pred_t = np.asarray(pred_t).reshape(16, b, hh // 4, ww // 4)
-    full = np.stack([ungroup_g16t_sample(pred_t[:, i]) for i in range(b)])
+    full = np.stack([ungroup_pred_sample(pred_t[:, i], 'g16') for i in range(b)])
     mismatch = int(np.sum(full != np.asarray(pred_ref)))
     assert mismatch <= tie_budget, \
         "class maps diverge on {} pixels".format(mismatch)
