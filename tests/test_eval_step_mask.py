@@ -152,3 +152,23 @@ def test_fused_eval_matches_xla_fallback(rng):
         c = ungroup_pred_sample(pred_p[i], 'grouped')
         assert a.shape == c.shape == ohw
         assert int(np.sum(a != c)) <= 2
+
+
+def test_spatial_mesh_falls_back_to_grouped_layout():
+    """A ('data', 'spatial') mesh must disable the fused eval tail (its
+    flattened operands don't shard over H) and publish the fallback layout."""
+    import jax
+    from dualsuperreslearningforsemseg_tpu.parallel import make_mesh
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        import pytest
+        pytest.skip("needs >= 2 devices for a spatial mesh")
+    mesh = make_mesh(devs[:2], spatial=2)
+    model = DSRL(stage=1, num_classes=19)
+    step = make_eval_step(model, 1, 0.1, 1.0, 19, 255, mesh=mesh)
+    assert step.pred_layout == 'grouped'
+    # Data-only meshes keep the fused tail.
+    step = make_eval_step(model, 1, 0.1, 1.0, 19, 255,
+                          mesh=make_mesh(devs[:2]))
+    assert step.pred_layout == 'g16'
