@@ -375,6 +375,10 @@ def _train_throughput_with_loader(stage, tree_images=96):
         jax.block_until_ready(losses)
         breakdown["loader_warm_images_per_sec_per_chip"] = round(
             measure * global_batch / (time.time() - start) / n_chips, 2)
+        # Stop the warm producers too: abandoned prefetch threads would hold
+        # staged device batches (HBM) and decode-pool state through the
+        # stage-2/1 measurements that run after this.
+        wstream.close()
     except Exception as exc:
         print("warm-loader measurement failed: {}".format(exc), file=sys.stderr)
     return cold_rate, breakdown

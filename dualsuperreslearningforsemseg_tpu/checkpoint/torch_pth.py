@@ -166,6 +166,22 @@ class _TorchUnpickler(pickle.Unpickler):
             return _rebuild_tensor_v2
         if module == 'collections' and name == 'OrderedDict':
             return dict
+        # numpy's benign data-reconstruction globals (the same set torch's
+        # own weights_only unpickler admits): torch.save pickles a stray
+        # np.float64 in a checkpoint dict (e.g. a best-mIoU from np.mean)
+        # as GLOBAL numpy.core.multiarray scalar + numpy dtype — pure data
+        # rebuilds, no code execution surface.
+        if name in ('scalar', '_reconstruct') and module in (
+                'numpy.core.multiarray', 'numpy._core.multiarray'):
+            import numpy.core.multiarray as _ma
+            return getattr(_ma, name)
+        if module == 'numpy' and name in ('dtype', 'ndarray'):
+            import numpy as _np
+            return getattr(_np, name)
+        if module == '_codecs' and name == 'encode':
+            # numpy's scalar payloads pickle their bytes via _codecs.encode.
+            import _codecs
+            return _codecs.encode
         if module.startswith('torch'):
             fake = _FakeClass(module, name)
             fake.name = name

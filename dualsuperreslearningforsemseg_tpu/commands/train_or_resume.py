@@ -195,7 +195,11 @@ def train_or_resume(is_resuming_training, device, distributed, mixed_precision,
         # tail kernel's label operand (see data/native.py).  The symbol is
         # optional (v4): a stale-but-usable library keeps decode+warp and the
         # train step builds the layout in-graph instead (~7 ms/step).
-        emit_positions = not dry_run and has_g16_labels()
+        # Spatial meshes disable the Pallas tail (train/steps.py), so the
+        # operand would be computed (~3 ms/batch host) and staged H2D every
+        # step just to be ignored — gate it off.
+        spatial_mesh = mesh is not None and mesh.shape.get('spatial', 1) > 1
+        emit_positions = not dry_run and not spatial_mesh and has_g16_labels()
         host_transform = make_host_warp_transform(aug_cfg, ds_settings.LABEL_MAPPING_LUT,
                                                   settings.RANDOM_SEED,
                                                   emit_position_labels=emit_positions)
@@ -615,12 +619,29 @@ def _val_epoch(state, eval_step, loader, eval_fn, mesh, epoch, stage, master,
 
 
 def _first_local_sample(arr, axis=0):
-    """First sample (along ``axis``) of a (possibly multi-process sharded)
-    batch.  A global array is not fully addressable from one process, so
-    fetch one local shard rather than jax.device_get-ing the whole thing."""
+    """First locally-addressable sample (along ``axis``) of a sharded batch.
+
+    A global array is not fully addressable from one process, so this works
+    from ``addressable_shards`` rather than jax.device_get-ing the whole
+    thing — and a SINGLE sample can itself span several local shards (a
+    spatial mesh shards image height), so the sample is assembled from every
+    local shard covering its batch index via the shards' global-index
+    slices; one H-shard alone would render a 1/k-height visualization."""
     shards = getattr(arr, 'addressable_shards', None)
-    local = np.asarray(shards[0].data) if shards else np.asarray(jax.device_get(arr))
-    return np.take(local, 0, axis=axis)
+    if not shards:
+        return np.take(np.asarray(jax.device_get(arr)), 0, axis=axis)
+    b0 = min(s.index[axis].start or 0 for s in shards)
+    sample_shape = tuple(d for i, d in enumerate(arr.shape) if i != axis)
+    out = None
+    for s in shards:
+        if (s.index[axis].start or 0) != b0:
+            continue
+        piece = np.take(np.asarray(s.data), 0, axis=axis)
+        if out is None:
+            out = np.zeros(sample_shape, piece.dtype)
+        dst = tuple(sl for i, sl in enumerate(s.index) if i != axis)
+        out[dst] = piece
+    return out
 
 
 def _log_example_image(logger, img_hi, pred, pred_layout, ds_settings, epoch):

@@ -197,7 +197,9 @@ class Loader:
                 from PIL import Image as _Image
                 with _Image.open(dataset.pairs[0][0]) as im:
                     self._native_hw = (im.height, im.width)
-        if hasattr(dataset, 'pairs') and len(dataset) > 0:
+        if raw_cache is not None and hasattr(dataset, 'pairs') and len(dataset) > 0:
+            # Cache geometry: reuse the native probe's answer; only open the
+            # first image here when the native path didn't already.
             hw = self._native_hw
             if hw is None:
                 from PIL import Image as _Image
@@ -206,7 +208,7 @@ class Loader:
             if raw_cache == 'env':
                 from .raw_cache import cache_from_env
                 self.raw_cache = cache_from_env(hw)
-            elif raw_cache is not None:
+            else:
                 self.raw_cache = raw_cache
 
     def set_epoch(self, epoch: int):

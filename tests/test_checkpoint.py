@@ -123,3 +123,19 @@ def test_torch_pth_rejects_arbitrary_globals(tmp_path):
         zf.writestr('archive/data.pkl', payload)
     with pytest.raises(pickle.UnpicklingError, match='refusing to resolve'):
         load_torch_pth(str(evil))
+
+
+def test_torch_pth_numpy_scalars_allowed(tmp_path):
+    """torch checkpoints legitimately carry numpy scalars/arrays (e.g. a
+    best-mIoU from np.mean); the hardened unpickler must admit numpy's
+    benign data-reconstruction globals while still rejecting everything
+    else (test_torch_pth_rejects_arbitrary_globals)."""
+    from dualsuperreslearningforsemseg_tpu.checkpoint.torch_pth import load_torch_pth
+    p = str(tmp_path / 'np.pth')
+    t.save({'w': t.arange(6, dtype=t.float32).reshape(2, 3),
+            'best_miou': np.float64(61.2),
+            'hist': np.arange(4)}, p)
+    out = load_torch_pth(p)
+    assert float(out['best_miou']) == 61.2
+    np.testing.assert_array_equal(out['hist'], np.arange(4))
+    np.testing.assert_array_equal(out['w'], np.arange(6, dtype=np.float32).reshape(2, 3))

@@ -127,3 +127,21 @@ def test_spatial_stage2_three_steps_equal_1dev(rng):
                                    atol=1e-4,
                                    err_msg="loss '{}' diverged".format(k))
     _assert_params_close(params_sp, params_1, 3, atol=1e-4)
+
+
+def test_first_local_sample_assembles_spatial_shards():
+    """The validator's example-image fetch must reassemble a sample whose
+    HEIGHT is sharded over the spatial axis — one shard alone is a 1/k crop."""
+    import jax
+    from dualsuperreslearningforsemseg_tpu.commands.train_or_resume import _first_local_sample
+
+    devices = jax.devices()[:4]
+    mesh = make_mesh(devices, spatial=2)
+    x = np.arange(2 * 8 * 4 * 3, dtype=np.float32).reshape(2, 8, 4, 3)
+    xd = jax.device_put(x, batch_sharding(mesh, 4))
+    np.testing.assert_array_equal(_first_local_sample(xd), x[0])
+    # g16-layout arrays carry the sample axis SECOND.
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    y = np.arange(16 * 2 * 4, dtype=np.int32).reshape(16, 2, 4)
+    yd = jax.device_put(y, NamedSharding(mesh, P(None, 'data')))
+    np.testing.assert_array_equal(_first_local_sample(yd, axis=1), y[:, 0])
