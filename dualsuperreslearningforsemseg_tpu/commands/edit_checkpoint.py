@@ -1,13 +1,18 @@
 """`edit-checkpoint` command (/root/reference/command_handlers/
-edit_checkpoint.py:8-11): set checkpoint[key] = typeof(value) and re-save."""
+edit_checkpoint.py:8-11): coerce a string value to a named type, store it
+under the given key, and re-save the checkpoint in place."""
 
 import os.path
-from pydoc import locate as str2type
+import pydoc
 
 from ..checkpoint import load_checkpoint_or_weights, save_checkpoint
 
 
 def edit_checkpoint(checkpoint, key, value, typeof, **other_args):
-    checkpoint_dict = load_checkpoint_or_weights(checkpoint)
-    checkpoint_dict[key] = str2type(typeof)(value)
-    save_checkpoint(*os.path.split(checkpoint), **checkpoint_dict)
+    state = load_checkpoint_or_weights(checkpoint)
+    # 'typeof' names a builtin or dotted type ('int', 'float', 'str', ...);
+    # pydoc.locate resolves it exactly like the reference does.
+    coerce = pydoc.locate(typeof)
+    state[key] = coerce(value)
+    directory, filename = os.path.split(checkpoint)
+    save_checkpoint(directory, filename, **state)
