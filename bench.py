@@ -476,12 +476,18 @@ def _stage1_eval_throughput():
                          batch_sharding(mesh, 3))
     mask = jax.device_put(np.ones((global_batch,), np.float32), batch_sharding(mesh, 1))
 
-    out = _retry(lambda: eval_step(params, stats, img_lo, img_hi, seg, mask), "eval warmup")
+    # Production boundary: params packed into one buffer (train/packing.py),
+    # exactly how the training-loop validator and benchmark command call it.
+    from dualsuperreslearningforsemseg_tpu.train.packing import pack_eval_state
+    pstate = pack_eval_state(params, stats)
+
+    out = _retry(lambda: eval_step.from_state(pstate, img_lo, img_hi, seg, mask),
+                 "eval warmup")
     jax.block_until_ready(out)
     steps = 10
     start = time.time()
     for _ in range(steps):
-        out = eval_step(params, stats, img_lo, img_hi, seg, mask)
+        out = eval_step.from_state(pstate, img_lo, img_hi, seg, mask)
     jax.block_until_ready(out)
     return steps * global_batch / (time.time() - start) / n_chips
 

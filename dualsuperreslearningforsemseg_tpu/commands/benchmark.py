@@ -65,6 +65,10 @@ def benchmark(weights, dataset, device, num_workers, batch_size, **other_args):
                                num_classes=ds_settings.NUM_CLASSES,
                                ignore_label=ds_settings.IGNORE_CLASS_LABEL,
                                mesh=mesh)
+    # Parameters cross the per-batch jit boundary packed (train/packing.py):
+    # one buffer instead of ~900 small BN/bias operands per dispatch.
+    from ..train.packing import pack_eval_state
+    pstate = pack_eval_state(params, batch_stats)
     sharding = batch_sharding(mesh, 4)
     sharding3 = batch_sharding(mesh, 3)
     sharding1 = batch_sharding(mesh, 1)
@@ -101,8 +105,8 @@ def benchmark(weights, dataset, device, num_workers, batch_size, **other_args):
               position=0, leave=False, bar_format=settings.PROGRESSBAR_FORMAT) as progressbar:
         for imgs_dev, segs_dev, mask_dev in DevicePrefetcher(loader, stage_batch):
             (img_lo, img_hi), (seg_hi, _) = eval_fn(imgs_dev, segs_dev)
-            losses, _, hists, acc = eval_step(params, batch_stats,
-                                              img_lo, img_hi, seg_hi, mask_dev)
+            losses, _, hists, acc = eval_step.from_state(
+                pstate, img_lo, img_hi, seg_hi, mask_dev)
             pending.append((losses['CE'], hists, acc, count_valid(mask_dev)))
             progressbar.update()
     for ce, hists, acc, n_dev in pending:

@@ -582,8 +582,11 @@ def _val_epoch(state, eval_step, loader, eval_fn, mesh, epoch, stage, master,
         for i, (imgs_dev, segs_dev, mask_dev) in enumerate(
                 DevicePrefetcher(loader, stage_val_batch)):
             (img_lo, img_hi), (seg_hi, _) = eval_fn(imgs_dev, segs_dev)
-            losses, pred, hists, acc = eval_step(state.params, state.batch_stats,
-                                                 img_lo, img_hi, seg_hi, mask_dev)
+            # from_state keeps a packed train state packed across the eval
+            # boundary (train/packing.py) instead of re-materializing ~900
+            # small parameter buffers per batch.
+            losses, pred, hists, acc = eval_step.from_state(
+                state, img_lo, img_hi, seg_hi, mask_dev)
             pending.append((losses, hists, acc, count_valid(mask_dev)))
 
             if master:

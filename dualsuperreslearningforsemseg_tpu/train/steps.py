@@ -20,6 +20,7 @@ full-logits D2H copy per validation batch.  Here:
   ``CE + w1*MSE + w2*FA`` (train_or_resume.py:435-438).
 """
 
+import os
 from typing import Any, NamedTuple
 
 import jax
@@ -30,6 +31,19 @@ from jax.sharding import NamedSharding, PartitionSpec
 from ..losses import cross_entropy_loss, mse_loss, fa_loss
 from ..metrics.device import batch_histograms, batch_accuracy_counts, argmax_lastdim
 from .optim import sgd_update
+
+
+def _jit_step(fn):
+    """Jit a ``(state, *args) -> (state', losses)`` step with donated state.
+
+    By default the state crosses the boundary with its ~900 small f32 leaves
+    packed into one persistent buffer (train/packing.py; measured
+    ~2.3 ms/step of per-buffer copy latency on v5e otherwise).
+    ``DSRL_TPU_PACK_SMALL=0`` falls back to the plain pytree boundary."""
+    if os.environ.get('DSRL_TPU_PACK_SMALL', '1').lower() in ('0', 'false'):
+        return jax.jit(fn, donate_argnums=(0,))
+    from .packing import wrap_step_with_packing
+    return wrap_step_with_packing(fn)
 
 
 class TrainState(NamedTuple):
@@ -199,7 +213,7 @@ def make_train_step(model, stage: int, w1: float, w2: float, momentum: float,
         return TrainState(new_params, new_stats, new_buf), losses
 
     if post_fn is None:
-        return jax.jit(train_core, donate_argnums=(0,))
+        return _jit_step(train_core)
 
     def fused_step(state: TrainState, imgs_u8, segs_u8, lr, rng, labs_t=None):
         rng_post, rng_step = jax.random.split(rng)
@@ -219,7 +233,7 @@ def make_train_step(model, stage: int, w1: float, w2: float, momentum: float,
                 group_labels_g16_t(segs_u8))
         return train_core(state, img_lo, img_hi, seg_hi, lr, rng_step, labs_t)
 
-    return jax.jit(fused_step, donate_argnums=(0,))
+    return _jit_step(fused_step)
 
 
 def make_eval_step(model, stage: int, w1: float, w2: float, num_classes: int,
@@ -356,6 +370,28 @@ def make_eval_step(model, stage: int, w1: float, w2: float, num_classes: int,
                         sample_mask)
 
         eval_fn.pred_layout = 'g16'
+
+        # Packed fast path: a PackedTrainState crosses the boundary as ONE
+        # buffer + big leaves instead of ~900 small parameter buffers (see
+        # train/packing.py — the per-buffer materialization latency costs
+        # ~2 ms on a ~15 ms eval step).  The g16 label build keeps its own
+        # dispatch, same as the unpacked path.
+        def _packed_eval(pstate, img_lo, img_hi, labs_t, sample_mask):
+            st = pstate.packer.unpack(pstate.packed, pstate.bigs)
+            return eval_core(st.params, st.batch_stats, img_lo, img_hi,
+                             labs_t, sample_mask)
+
+        packed_jit = jax.jit(_packed_eval)
+
+        def from_state(state, img_lo, img_hi, seg, sample_mask):
+            from .packing import PackedTrainState
+            if isinstance(state, PackedTrainState):
+                return packed_jit(state, img_lo, img_hi, labs_fn(seg),
+                                  sample_mask)
+            return eval_fn(state.params, state.batch_stats, img_lo, img_hi,
+                           seg, sample_mask)
+
+        eval_fn.from_state = from_state
         return eval_fn
 
     def eval_step(params, batch_stats, img_lo, img_hi, seg, sample_mask):
@@ -405,7 +441,22 @@ def make_eval_step(model, stage: int, w1: float, w2: float, num_classes: int,
     def eval_fallback(params, batch_stats, img_lo, img_hi, seg, sample_mask):
         return jitted(params, batch_stats, img_lo, img_hi, seg, sample_mask)
 
+    def _packed_eval(pstate, img_lo, img_hi, seg, sample_mask):
+        st = pstate.packer.unpack(pstate.packed, pstate.bigs)
+        return eval_step(st.params, st.batch_stats, img_lo, img_hi, seg,
+                         sample_mask)
+
+    packed_jit = jax.jit(_packed_eval)
+
+    def from_state(state, img_lo, img_hi, seg, sample_mask):
+        from .packing import PackedTrainState
+        if isinstance(state, PackedTrainState):
+            return packed_jit(state, img_lo, img_hi, seg, sample_mask)
+        return eval_fallback(state.params, state.batch_stats, img_lo, img_hi,
+                             seg, sample_mask)
+
     eval_fallback.pred_layout = 'full' if dry_run else 'grouped'
+    eval_fallback.from_state = from_state
     return eval_fallback
 
 
