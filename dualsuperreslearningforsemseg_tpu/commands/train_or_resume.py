@@ -203,7 +203,13 @@ def train_or_resume(is_resuming_training, device, distributed, mixed_precision,
         host_transform = make_host_warp_transform(aug_cfg, ds_settings.LABEL_MAPPING_LUT,
                                                   settings.RANDOM_SEED,
                                                   emit_position_labels=emit_positions)
-        post_fn = make_device_post_fn(aug_cfg, dtype=compute_dtype)
+        # stage>1: emit the MSE target pre-unshuffled (the SISR loss's
+        # layout) straight from the post emission write — see
+        # data/augment.py::make_device_post_fn.  dry-run keeps full-res
+        # img_hi (its synthetic losses run ungrouped).
+        post_fn = make_device_post_fn(
+            aug_cfg, dtype=compute_dtype,
+            unshuffle_hi=8 if (stage > 1 and not dry_run) else 0)
         augment_fn = None  # photometric tail is fused into the train step
     else:
         post_fn = None

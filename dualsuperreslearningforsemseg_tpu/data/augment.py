@@ -328,43 +328,83 @@ def make_host_warp_transform(cfg: AugmentConfig, label_lut: np.ndarray, seed: in
     return transform
 
 
-def make_device_post_fn(cfg: AugmentConfig, dtype=jnp.float32):
+def make_device_post_fn(cfg: AugmentConfig, dtype=jnp.float32,
+                        unshuffle_hi: int = 0):
     """Device-side tail of the host-warp path: photometric ops + normalize +
     the model-input downscale, built exclusively from elementwise math and
     matmul resizes — zero gathers in the TPU program.
+
+    The photometric chain is algebraically folded so every random op costs
+    one full-resolution pass instead of a compute-then-select pair (each
+    select alone read+wrote ~226 MB/step at the reference shapes):
+
+    * the blur's ``where(do_blur, blur3(img), img)`` becomes per-sample TAPS
+      — the gaussian taps when blurring, ``(0, 1, 0)`` otherwise.  Identity
+      taps reproduce the unblurred image BIT-exactly (0*a + 1*b + 0*c = b),
+      so the fold is not an approximation;
+    * grayscale + normalize (+ the u8 ``/255`` when ColorJitter is off, its
+      recipe state) fold into ONE per-sample affine color transform
+      ``img @ M + b``: M = (gray mix or identity) * scale / std,
+      b = -mean/std.  Same math, one pass.
 
     ``dtype``: emission dtype of the normalized images.  Under bf16 mixed
     precision the model casts its input immediately anyway, and the MSE
     target (img_hi, 100 MB/step in f32 at the reference shapes) feeds a loss
     whose reduction runs in f32 regardless — emitting bf16 halves the
     relayout copies around the augment tail (traced ~1.4 + 0.9 ms/step on
-    v5e).  All photometric math stays in f32; only the final write narrows."""
+    v5e).  All photometric math stays in f32; only the final write narrows.
+
+    ``unshuffle_hi``: when nonzero (the SISR pixel-shuffle factor, 8), emit
+    ``img_hi`` already pixel-UNSHUFFLED — (B, H/r, W/r, 3*r*r) — so the MSE
+    against the pre-shuffle SISR output needs no in-loss permutation.  The
+    emission write costs the same bytes either way; the separate transpose
+    it replaces was ~0.5 ms/step plus a 0.5 ms relayout copy feeding it
+    (train/steps.py reads the factor off the returned fn)."""
     mean = jnp.asarray(cfg.mean, jnp.float32)
     std = jnp.asarray(cfg.std, jnp.float32)
     oh, ow = cfg.output_hw
     ih, iw = cfg.input_hw
     exact2x = (oh == 2 * ih and ow == 2 * iw)
+    jitter_on = any(cfg.color_jitter)
+    gray_mix = jnp.array([0.299, 0.587, 0.114], jnp.float32)
 
     def one_sample(img, key):
+        # Same stream layout as the unfused formulation (blur_p, blur_sigma,
+        # gray, jitter) so fixed-seed runs draw identical decisions.
         k_blur_p, k_blur_s, k_gray, k_jit = jax.random.split(key, 4)
-        if any(cfg.color_jitter):
+        if jitter_on:
             img = _color_jitter(img, k_jit, cfg)
+
         do_blur = jax.random.bernoulli(k_blur_p, cfg.blur_p)
         sigma = jax.random.uniform(k_blur_s, (), minval=cfg.blur_sigma[0],
                                    maxval=cfg.blur_sigma[1])
-        img = jnp.where(do_blur, _gaussian_blur3(img, sigma), img)
+        x = jnp.array([-1.0, 0.0, 1.0])
+        g = jnp.exp(-(x ** 2) / (2.0 * sigma ** 2))
+        taps = jnp.where(do_blur, g / g.sum(), jnp.array([0.0, 1.0, 0.0]))
+        pad_h = jnp.pad(img, ((1, 1), (0, 0), (0, 0)), mode='reflect')
+        img = pad_h[:-2] * taps[0] + pad_h[1:-1] * taps[1] + pad_h[2:] * taps[2]
+        pad_w = jnp.pad(img, ((0, 0), (1, 1), (0, 0)), mode='reflect')
+        img = pad_w[:, :-2] * taps[0] + pad_w[:, 1:-1] * taps[1] + pad_w[:, 2:] * taps[2]
+
         do_gray = jax.random.bernoulli(k_gray, cfg.grayscale_p)
-        gray = (0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2])[..., None]
-        img = jnp.where(do_gray, jnp.broadcast_to(gray, img.shape), img)
-        return (img - mean) / std
+        m = jnp.where(do_gray, jnp.broadcast_to(gray_mix[:, None], (3, 3)),
+                      jnp.eye(3, dtype=jnp.float32))
+        scale = 1.0 if jitter_on else 1.0 / 255.0
+        m = m * scale / std[None, :]
+        return jnp.einsum('hwc,cd->hwd', img, m) - mean / std
 
     @jax.jit
     def post(imgs_w_u8, segs_w_u8, key):
-        img = imgs_w_u8.astype(jnp.float32) / 255.0
         keys = jax.random.split(key, imgs_w_u8.shape[0])
+        img = imgs_w_u8.astype(jnp.float32)
+        if jitter_on:
+            img = img / 255.0   # jitter clips in [0,1]; /255 can't fold
         img_hi = jax.vmap(one_sample)(img, keys)
         img_lo = resize_bilinear_matmul(img_hi, cfg.input_hw).astype(dtype)
         img_hi = img_hi.astype(dtype)
+        if unshuffle_hi:
+            from ..ops.conv import pixel_unshuffle
+            img_hi = pixel_unshuffle(img_hi, unshuffle_hi)
         seg_hi = segs_w_u8.astype(jnp.int32)
         if exact2x:
             seg_lo = seg_hi[:, ::2, ::2]
@@ -372,6 +412,7 @@ def make_device_post_fn(cfg: AugmentConfig, dtype=jnp.float32):
             seg_lo = resize_nearest(seg_hi, cfg.input_hw, spatial_axes=(-2, -1))
         return (img_lo, img_hi), (seg_hi, seg_lo)
 
+    post.unshuffled_hi_factor = int(unshuffle_hi)
     return post
 
 

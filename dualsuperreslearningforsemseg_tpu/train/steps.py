@@ -73,6 +73,18 @@ def make_train_step(model, stage: int, w1: float, w2: float, momentum: float,
     spatial = mesh is not None and mesh.shape.get('spatial', 1) > 1
     use_fused_tail = fused_tail and grouped and not dry_run and not spatial
 
+    # img_hi may arrive already pixel-unshuffled from the device post fn
+    # (data/augment.py::make_device_post_fn(unshuffle_hi=8)): the MSE target
+    # permutation then happens at the post emission write instead of as a
+    # separate in-loss transpose (+~1 ms/step of copy+transpose at the
+    # reference shapes).  Only the grouped pre-shuffle-SISR loss consumes
+    # that layout.
+    hi_unshuffled = (getattr(post_fn, 'unshuffled_hi_factor', 0)
+                     if post_fn is not None else 0)
+    if hi_unshuffled:
+        assert hi_unshuffled == 8 and grouped and not dry_run, \
+            'pre-unshuffled img_hi requires the grouped pre-shuffle SISR loss'
+
     def _fused_ce(params, y1, labs_t):
         """Final ConvT + CE without materializing the logits
         (ops/pallas/fused_tail.py), sharing the module's parameters; the
@@ -178,10 +190,11 @@ def make_train_step(model, stage: int, w1: float, w2: float, momentum: float,
                 # (group_labels_g16_t); only the XLA CE needs them in the
                 # grouped-logits layout.
                 seg = group_labels(seg, 4)
-            if stage > 1:
+            if stage > 1 and not hi_unshuffled:
                 # SISR stays pre-shuffle; unshuffle the TARGET instead (MSE
                 # is permutation-invariant and the no-grad side's transpose
-                # fuses into the reduction).
+                # fuses into the reduction).  When the post fn already
+                # emitted img_hi unshuffled (hi_unshuffled), nothing to do.
                 # NB (round 2): un-flattened 6-D/8-D views for the CE labels
                 # and MSE target were built and traced — both LOST: the
                 # grouped tensors' tiled layouts make the "free" reshapes

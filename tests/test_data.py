@@ -295,3 +295,67 @@ def test_loader_raw_cache_equivalence(tmp_path):
     # every pair is now cached
     for ip, sp in ds.pairs:
         assert cache.load(ip, sp) is not None
+
+
+def test_device_post_folded_photometrics(rng):
+    """make_device_post_fn's folded chain (per-sample blur taps + one affine
+    color transform) must match the literal composition: /255 -> 3-tap
+    gaussian blur (or passthrough) -> grayscale (or passthrough) ->
+    (x - mean)/std, per sample, for the decisions drawn from the same keys."""
+    import jax
+    from dualsuperreslearningforsemseg_tpu.data.augment import (
+        make_device_post_fn, _gaussian_blur3)
+
+    cfg = AugmentConfig(input_hw=(8, 16), output_hw=(16, 32),
+                        blur_p=0.5, grayscale_p=0.5)
+    post = make_device_post_fn(cfg)
+    imgs = rng.integers(0, 256, size=(8, 16, 32, 3), dtype=np.uint8)
+    segs = rng.integers(0, 19, size=(8, 16, 32), dtype=np.uint8)
+    key = jax.random.PRNGKey(3)
+    (img_lo, img_hi), (seg_hi, seg_lo) = post(jnp.asarray(imgs),
+                                              jnp.asarray(segs), key)
+
+    mean = np.asarray(cfg.mean, np.float32)
+    std = np.asarray(cfg.std, np.float32)
+    keys = jax.random.split(key, imgs.shape[0])
+    n_blurred = n_grayed = 0
+    for i in range(imgs.shape[0]):
+        k_blur_p, k_blur_s, k_gray, _ = jax.random.split(keys[i], 4)
+        x = jnp.asarray(imgs[i], jnp.float32) / 255.0
+        if bool(jax.random.bernoulli(k_blur_p, cfg.blur_p)):
+            sigma = jax.random.uniform(k_blur_s, (), minval=cfg.blur_sigma[0],
+                                       maxval=cfg.blur_sigma[1])
+            x = _gaussian_blur3(x, sigma)
+            n_blurred += 1
+        else:
+            # burn the sigma draw like the fused path does
+            jax.random.uniform(k_blur_s, ())
+        if bool(jax.random.bernoulli(k_gray, cfg.grayscale_p)):
+            g = 0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2]
+            x = jnp.broadcast_to(g[..., None], x.shape)
+            n_grayed += 1
+        expected = (np.asarray(x) - mean) / std
+        np.testing.assert_allclose(np.asarray(img_hi[i]), expected,
+                                   rtol=2e-5, atol=2e-5)
+    # the key makes both branches of both decisions occur across 8 samples
+    assert 0 < n_blurred < 8 and 0 < n_grayed < 8, (n_blurred, n_grayed)
+
+
+def test_device_post_unshuffled_hi(rng):
+    """unshuffle_hi=2 must emit img_hi exactly pixel_unshuffle(full-res)."""
+    import jax
+    from dualsuperreslearningforsemseg_tpu.data.augment import make_device_post_fn
+    from dualsuperreslearningforsemseg_tpu.ops.conv import pixel_unshuffle
+
+    cfg = AugmentConfig(input_hw=(8, 16), output_hw=(16, 32),
+                        blur_p=0.5, grayscale_p=0.5)
+    imgs = rng.integers(0, 256, size=(4, 16, 32, 3), dtype=np.uint8)
+    segs = rng.integers(0, 19, size=(4, 16, 32), dtype=np.uint8)
+    key = jax.random.PRNGKey(5)
+    (_, hi_full), _ = make_device_post_fn(cfg)(jnp.asarray(imgs),
+                                               jnp.asarray(segs), key)
+    post_u = make_device_post_fn(cfg, unshuffle_hi=2)
+    assert post_u.unshuffled_hi_factor == 2
+    (_, hi_unsh), _ = post_u(jnp.asarray(imgs), jnp.asarray(segs), key)
+    np.testing.assert_array_equal(np.asarray(hi_unsh),
+                                  np.asarray(pixel_unshuffle(hi_full, 2)))

@@ -80,3 +80,47 @@ def test_grouped_batchnorm_stats_match_plain(rng):
     np.testing.assert_allclose(np.asarray(bn_plain['running_var']),
                                np.asarray(bn_grouped['running_var']),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_fused_step_with_preunshuffled_target(rng):
+    """A fused train step whose post fn emits img_hi pre-unshuffled
+    (make_device_post_fn(unshuffle_hi=8)) must produce the same losses and
+    params as the plain full-res-target post: the unshuffle moves across the
+    step boundary, the MSE multiset is unchanged."""
+    from dualsuperreslearningforsemseg_tpu.data import AugmentConfig
+    from dualsuperreslearningforsemseg_tpu.data.augment import make_device_post_fn
+    from dualsuperreslearningforsemseg_tpu.train import (sgd_init,
+                                                         make_train_step,
+                                                         TrainState)
+
+    model = DSRL(stage=2, num_classes=19)
+    hw = (64, 128)
+    out_hw = (2 * hw[0], 2 * hw[1])
+    x = jnp.zeros((2, *hw, 3), jnp.float32)
+    variables = model.init({'params': jax.random.PRNGKey(11),
+                            'dropout': jax.random.PRNGKey(12)}, x, False)
+    imgs_u8 = jnp.asarray(rng.integers(0, 256, (2, *out_hw, 3)), jnp.uint8)
+    segs_u8 = jnp.asarray(rng.integers(0, 19, (2, *out_hw)), jnp.uint8)
+    cfg = AugmentConfig(input_hw=hw, output_hw=out_hw,
+                        blur_p=0.5, grayscale_p=0.5)
+
+    def run(unshuffle):
+        post = make_device_post_fn(cfg, unshuffle_hi=8 if unshuffle else 0)
+        step = make_train_step(model, stage=2, w1=0.1, w2=1.0, momentum=0.9,
+                               weight_decay=0.0005, post_fn=post,
+                               fused_tail=False)
+        state = TrainState(variables['params'], variables['batch_stats'],
+                           sgd_init(variables['params']))
+        state, losses = step(state, imgs_u8, segs_u8, jnp.float32(0.01),
+                             jax.random.PRNGKey(21))
+        return state, losses
+
+    state_a, losses_a = run(False)
+    state_b, losses_b = run(True)
+    for k in ('CE', 'MSE', 'Total'):
+        np.testing.assert_allclose(float(losses_a[k]), float(losses_b[k]),
+                                   rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-6, atol=1e-7),
+        state_a.params, state_b.params)
