@@ -101,7 +101,7 @@ def _train_throughput(stage):
     aug_cfg = AugmentConfig(input_hw=input_hw, output_hw=output_hw,
                             mean=cs.MEAN, std=cs.STD)
     post = make_device_post_fn(aug_cfg, dtype=jnp.bfloat16,
-                               unshuffle_hi=8 if stage > 1 else 0)
+                               unshuffle_hi=8 if stage > 1 else 0, mesh=mesh)
     train_step = make_train_step(model, stage=stage, w1=0.1, w2=1.0, momentum=0.9,
                                  weight_decay=0.0005,
                                  ignore_label=cs.IGNORE_CLASS_LABEL, mesh=mesh,
@@ -242,7 +242,8 @@ def _train_throughput_with_loader(stage, tree_images=96):
                                  ignore_label=cs.IGNORE_CLASS_LABEL, mesh=mesh,
                                  post_fn=make_device_post_fn(
                                      aug_cfg, dtype=jnp.bfloat16,
-                                     unshuffle_hi=8 if stage > 1 else 0))
+                                     unshuffle_hi=8 if stage > 1 else 0,
+                                     mesh=mesh))
     # Gate the v4 label plane on has_g16_labels(), not native_available():
     # a stale-but-core-intact .so decodes and warps natively but lacks
     # dp_labels_g16_t, and the train step falls back to the in-graph layout.

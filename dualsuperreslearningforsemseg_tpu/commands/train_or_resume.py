@@ -209,7 +209,8 @@ def train_or_resume(is_resuming_training, device, distributed, mixed_precision,
         # img_hi (its synthetic losses run ungrouped).
         post_fn = make_device_post_fn(
             aug_cfg, dtype=compute_dtype,
-            unshuffle_hi=8 if (stage > 1 and not dry_run) else 0)
+            unshuffle_hi=8 if (stage > 1 and not dry_run) else 0,
+            mesh=mesh)
         augment_fn = None  # photometric tail is fused into the train step
     else:
         post_fn = None

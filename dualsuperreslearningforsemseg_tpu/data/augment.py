@@ -26,6 +26,7 @@ Deliberate deviations from reference behavior (documented per SURVEY.md §7):
 """
 
 import dataclasses
+import functools
 from typing import Tuple
 
 import numpy as np
@@ -33,7 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.resize import (resize_bilinear_align_corners, resize_bilinear_matmul,
-                          resize_nearest)
+                          resize_bilinear_matmul_hw, resize_nearest)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -328,8 +329,29 @@ def make_host_warp_transform(cfg: AugmentConfig, label_lut: np.ndarray, seed: in
     return transform
 
 
+def _photometric_params(key, cfg: AugmentConfig, jitter_on: bool, std,
+                        gray_mix):
+    """Per-sample blur taps + folded color affine, one key -> (taps (3,),
+    m (3, 3), k_jit).  Shared by the XLA and Pallas photometric paths so
+    both draw identical decisions from the same key (stream layout:
+    blur_p, blur_sigma, gray, jitter)."""
+    k_blur_p, k_blur_s, k_gray, k_jit = jax.random.split(key, 4)
+    do_blur = jax.random.bernoulli(k_blur_p, cfg.blur_p)
+    sigma = jax.random.uniform(k_blur_s, (), minval=cfg.blur_sigma[0],
+                               maxval=cfg.blur_sigma[1])
+    x = jnp.array([-1.0, 0.0, 1.0])
+    g = jnp.exp(-(x ** 2) / (2.0 * sigma ** 2))
+    taps = jnp.where(do_blur, g / g.sum(), jnp.array([0.0, 1.0, 0.0]))
+    do_gray = jax.random.bernoulli(k_gray, cfg.grayscale_p)
+    m = jnp.where(do_gray, jnp.broadcast_to(gray_mix[:, None], (3, 3)),
+                  jnp.eye(3, dtype=jnp.float32))
+    scale = 1.0 if jitter_on else 1.0 / 255.0
+    return taps, m * scale / std[None, :], k_jit
+
+
 def make_device_post_fn(cfg: AugmentConfig, dtype=jnp.float32,
-                        unshuffle_hi: int = 0):
+                        unshuffle_hi: int = 0, mesh=None,
+                        photometric: str = 'auto'):
     """Device-side tail of the host-warp path: photometric ops + normalize +
     the model-input downscale, built exclusively from elementwise math and
     matmul resizes — zero gathers in the TPU program.
@@ -359,7 +381,18 @@ def make_device_post_fn(cfg: AugmentConfig, dtype=jnp.float32,
     against the pre-shuffle SISR output needs no in-loss permutation.  The
     emission write costs the same bytes either way; the separate transpose
     it replaces was ~0.5 ms/step plus a 0.5 ms relayout copy feeding it
-    (train/steps.py reads the factor off the returned fn)."""
+    (train/steps.py reads the factor off the returned fn).
+
+    ``photometric``: 'pallas' runs the taps+affine chain as ONE Pallas pass
+    over planar strips (ops/pallas/augment_post.py; u8 in, compute dtype
+    out, ~2.8 -> ~0.3 ms/step on v5e); 'xla' keeps the jnp formulation;
+    'auto' picks pallas on the TPU backend when ColorJitter is off (its
+    recipe state — the jitter's clipped, order-shuffled ops don't fold).
+    Both paths draw identical per-sample decisions from the same key; the
+    pallas path resizes img_lo from the compute-dtype (bf16) image instead
+    of f32, a sub-ulp-of-bf16 input difference.  Pass ``mesh`` on
+    multi-device runs: pallas_call has no GSPMD partitioning rule, so the
+    kernel is shard_mapped over the batch like the fused tails."""
     mean = jnp.asarray(cfg.mean, jnp.float32)
     std = jnp.asarray(cfg.std, jnp.float32)
     oh, ow = cfg.output_hw
@@ -367,44 +400,84 @@ def make_device_post_fn(cfg: AugmentConfig, dtype=jnp.float32,
     exact2x = (oh == 2 * ih and ow == 2 * iw)
     jitter_on = any(cfg.color_jitter)
     gray_mix = jnp.array([0.299, 0.587, 0.114], jnp.float32)
+    coff = -mean / std
 
-    def one_sample(img, key):
-        # Same stream layout as the unfused formulation (blur_p, blur_sigma,
-        # gray, jitter) so fixed-seed runs draw identical decisions.
-        k_blur_p, k_blur_s, k_gray, k_jit = jax.random.split(key, 4)
+    if photometric not in ('auto', 'pallas', 'xla'):
+        raise ValueError("photometric must be auto|pallas|xla, got {!r}"
+                         .format(photometric))
+    from ..utils.backend import resolve_backend
+    on_tpu = resolve_backend() == 'tpu'
+    use_pallas = (photometric == 'pallas'
+                  or (photometric == 'auto' and on_tpu and not jitter_on
+                      and oh % 8 == 0 and ow % 128 == 0))
+
+    def params_of(keys):
+        return jax.vmap(
+            lambda k: _photometric_params(k, cfg, jitter_on, std, gray_mix)
+        )(keys)
+
+    def one_sample(img, taps, m, k_jit):
         if jitter_on:
             img = _color_jitter(img, k_jit, cfg)
-
-        do_blur = jax.random.bernoulli(k_blur_p, cfg.blur_p)
-        sigma = jax.random.uniform(k_blur_s, (), minval=cfg.blur_sigma[0],
-                                   maxval=cfg.blur_sigma[1])
-        x = jnp.array([-1.0, 0.0, 1.0])
-        g = jnp.exp(-(x ** 2) / (2.0 * sigma ** 2))
-        taps = jnp.where(do_blur, g / g.sum(), jnp.array([0.0, 1.0, 0.0]))
         pad_h = jnp.pad(img, ((1, 1), (0, 0), (0, 0)), mode='reflect')
         img = pad_h[:-2] * taps[0] + pad_h[1:-1] * taps[1] + pad_h[2:] * taps[2]
         pad_w = jnp.pad(img, ((0, 0), (1, 1), (0, 0)), mode='reflect')
         img = pad_w[:, :-2] * taps[0] + pad_w[:, 1:-1] * taps[1] + pad_w[:, 2:] * taps[2]
+        # HIGHEST: the TPU default would run this K=3 contraction in bf16,
+        # costing ~0.8% on the normalized image where the pre-fold
+        # elementwise formulation (and the Pallas kernel's VPU math) is f32.
+        return jnp.einsum('hwc,cd->hwd', img, m,
+                          precision=jax.lax.Precision.HIGHEST) + coff
 
-        do_gray = jax.random.bernoulli(k_gray, cfg.grayscale_p)
-        m = jnp.where(do_gray, jnp.broadcast_to(gray_mix[:, None], (3, 3)),
-                      jnp.eye(3, dtype=jnp.float32))
-        scale = 1.0 if jitter_on else 1.0 / 255.0
-        m = m * scale / std[None, :]
-        return jnp.einsum('hwc,cd->hwd', img, m) - mean / std
+    def photometric_pallas(imgs_w_u8, keys):
+        """-> planar hi.  (An in-kernel unshuffled second emission was
+        built and REJECTED: Mosaic cannot lower the lane-splitting rank-5
+        shape cast — see ops/pallas/augment_post.py — so the MSE-target
+        permutation stays the XLA transpose below.)"""
+        from ..ops.pallas.augment_post import photometric_planar
+        taps, m, _ = params_of(keys)
+        b = imgs_w_u8.shape[0]
+        coffb = jnp.broadcast_to(coff[None, :], (b, 3))
+        planar = jnp.transpose(imgs_w_u8, (0, 3, 1, 2))
+        call = functools.partial(photometric_planar, out_dtype=dtype,
+                                 interpret=not on_tpu)
+        if mesh is not None and mesh.devices.size > 1:
+            from jax.sharding import PartitionSpec as P
+            call = jax.shard_map(
+                call, mesh=mesh,
+                in_specs=(P('data'), P('data'), P('data'), P('data')),
+                out_specs=P('data'), check_vma=False)
+        return call(planar, taps, m, coffb)
 
     @jax.jit
     def post(imgs_w_u8, segs_w_u8, key):
         keys = jax.random.split(key, imgs_w_u8.shape[0])
-        img = imgs_w_u8.astype(jnp.float32)
-        if jitter_on:
-            img = img / 255.0   # jitter clips in [0,1]; /255 can't fold
-        img_hi = jax.vmap(one_sample)(img, keys)
-        img_lo = resize_bilinear_matmul(img_hi, cfg.input_hw).astype(dtype)
-        img_hi = img_hi.astype(dtype)
-        if unshuffle_hi:
-            from ..ops.conv import pixel_unshuffle
-            img_hi = pixel_unshuffle(img_hi, unshuffle_hi)
+        if use_pallas:
+            hi_planar = photometric_pallas(imgs_w_u8, keys)
+            img_lo = jnp.transpose(
+                resize_bilinear_matmul_hw(hi_planar, cfg.input_hw),
+                (0, 2, 3, 1))
+            if unshuffle_hi:
+                # planar -> pixel_unshuffle's (B, H/r, W/r, 3*r*r): channel
+                # c*r*r + i*r + j = full-res pixel (r*h + i, r*w + j) of c.
+                r = unshuffle_hi
+                b = hi_planar.shape[0]
+                x = hi_planar.reshape(b, 3, oh // r, r, ow // r, r)
+                img_hi = x.transpose(0, 2, 4, 1, 3, 5).reshape(
+                    b, oh // r, ow // r, 3 * r * r)
+            else:
+                img_hi = jnp.transpose(hi_planar, (0, 2, 3, 1))
+        else:
+            img = imgs_w_u8.astype(jnp.float32)
+            if jitter_on:
+                img = img / 255.0   # jitter clips in [0,1]; /255 can't fold
+            taps, m, k_jit = params_of(keys)
+            img_hi = jax.vmap(one_sample)(img, taps, m, k_jit)
+            img_lo = resize_bilinear_matmul(img_hi, cfg.input_hw).astype(dtype)
+            img_hi = img_hi.astype(dtype)
+            if unshuffle_hi:
+                from ..ops.conv import pixel_unshuffle
+                img_hi = pixel_unshuffle(img_hi, unshuffle_hi)
         seg_hi = segs_w_u8.astype(jnp.int32)
         if exact2x:
             seg_lo = seg_hi[:, ::2, ::2]
@@ -413,6 +486,7 @@ def make_device_post_fn(cfg: AugmentConfig, dtype=jnp.float32,
         return (img_lo, img_hi), (seg_hi, seg_lo)
 
     post.unshuffled_hi_factor = int(unshuffle_hi)
+    post.photometric_impl = 'pallas' if use_pallas else 'xla'
     return post
 
 

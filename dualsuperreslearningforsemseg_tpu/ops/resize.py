@@ -101,6 +101,23 @@ def resize_bilinear_matmul(x: jnp.ndarray, out_hw) -> jnp.ndarray:
     return xf.astype(orig_dtype)
 
 
+def resize_bilinear_matmul_hw(x: jnp.ndarray, out_hw) -> jnp.ndarray:
+    """:func:`resize_bilinear_matmul` for channel-PLANAR input — spatial
+    dims are the LAST two (..., H, W), the Pallas photometric kernel's
+    emission layout (ops/pallas/augment_post.py)."""
+    out_h, out_w = int(out_hw[0]), int(out_hw[1])
+    *lead, in_h, in_w = x.shape
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    if in_h != out_h:
+        mh = jnp.asarray(_interp_matrix(in_h, out_h))
+        xf = jnp.einsum('oh,...hw->...ow', mh, xf)
+    if in_w != out_w:
+        mw = jnp.asarray(_interp_matrix(in_w, out_w))
+        xf = jnp.einsum('pw,...hw->...hp', mw, xf)
+    return xf.astype(orig_dtype)
+
+
 def resize_nearest(x: jnp.ndarray, out_hw, spatial_axes=(-3, -2)) -> jnp.ndarray:
     """Nearest-neighbor resize matching ``torch`` ``mode='nearest'``.
 

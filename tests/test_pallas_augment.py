@@ -1,0 +1,91 @@
+"""Pallas photometric kernel (ops/pallas/augment_post.py): interpret-mode
+parity vs the XLA taps+affine formulation, full-res and unshuffled
+emissions, and the shard_mapped multi-device form."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dualsuperreslearningforsemseg_tpu.data import AugmentConfig
+from dualsuperreslearningforsemseg_tpu.data.augment import make_device_post_fn
+
+
+def _mk(photometric, unshuffle=0, mesh=None, dtype=jnp.float32):
+    cfg = AugmentConfig(input_hw=(16, 64), output_hw=(32, 128),
+                        blur_p=0.5, grayscale_p=0.5)
+    return make_device_post_fn(cfg, dtype=dtype, unshuffle_hi=unshuffle,
+                               mesh=mesh, photometric=photometric), cfg
+
+
+def _batch(rng, b=8, hw=(32, 128)):
+    imgs = jnp.asarray(rng.integers(0, 256, (b, *hw, 3)), jnp.uint8)
+    segs = jnp.asarray(rng.integers(0, 19, (b, *hw)), jnp.uint8)
+    return imgs, segs
+
+
+def test_pallas_post_matches_xla(rng):
+    post_x, _ = _mk('xla')
+    post_p, _ = _mk('pallas')
+    assert post_x.photometric_impl == 'xla'
+    assert post_p.photometric_impl == 'pallas'
+    imgs, segs = _batch(rng)
+    key = jax.random.PRNGKey(9)
+    (lo_x, hi_x), (sh_x, sl_x) = post_x(imgs, segs, key)
+    (lo_p, hi_p), (sh_p, sl_p) = post_p(imgs, segs, key)
+    # identical per-sample decisions and math; resize input precision is the
+    # only deviation (f32 vs emission dtype) and dtype=f32 removes it here
+    np.testing.assert_allclose(np.asarray(hi_p), np.asarray(hi_x),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lo_p), np.asarray(lo_x),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(sh_p), np.asarray(sh_x))
+    np.testing.assert_array_equal(np.asarray(sl_p), np.asarray(sl_x))
+
+
+def test_pallas_post_unshuffled_emission(rng):
+    post_x, _ = _mk('xla', unshuffle=4)
+    post_p, _ = _mk('pallas', unshuffle=4)
+    imgs, segs = _batch(rng)
+    key = jax.random.PRNGKey(11)
+    (_, hi_x), _ = post_x(imgs, segs, key)
+    (_, hi_p), _ = post_p(imgs, segs, key)
+    assert hi_p.shape == (8, 8, 32, 48)
+    np.testing.assert_allclose(np.asarray(hi_p), np.asarray(hi_x),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_pallas_post_sharded(rng):
+    from dualsuperreslearningforsemseg_tpu.parallel import make_mesh
+    mesh = make_mesh()
+    assert mesh.devices.size > 1, 'conftest provides the 8-device CPU mesh'
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    post_x, _ = _mk('xla')
+    post_p, _ = _mk('pallas', mesh=mesh)
+    imgs, segs = _batch(rng)
+    key = jax.random.PRNGKey(13)
+    (lo_x, hi_x), _ = post_x(imgs, segs, key)
+    sh4 = NamedSharding(mesh, P('data'))
+    imgs_s = jax.device_put(imgs, sh4)
+    segs_s = jax.device_put(segs, sh4)
+    (lo_p, hi_p), _ = post_p(imgs_s, segs_s, key)
+    np.testing.assert_allclose(np.asarray(hi_p), np.asarray(hi_x),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lo_p), np.asarray(lo_x),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_pallas_post_bf16_emission(rng):
+    """bf16 emission: the kernel's hi equals the XLA path's bf16 hi (same
+    f32 math, same final narrowing)."""
+    post_x, _ = _mk('xla', dtype=jnp.bfloat16)
+    post_p, _ = _mk('pallas', dtype=jnp.bfloat16)
+    imgs, segs = _batch(rng)
+    key = jax.random.PRNGKey(17)
+    (_, hi_x), _ = post_x(imgs, segs, key)
+    (_, hi_p), _ = post_p(imgs, segs, key)
+    np.testing.assert_allclose(
+        np.asarray(hi_p, np.float32), np.asarray(hi_x, np.float32),
+        rtol=0.02, atol=0.02)
+    exact = np.mean(np.asarray(hi_p, np.float32)
+                    == np.asarray(hi_x, np.float32))
+    assert exact > 0.95, exact

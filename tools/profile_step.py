@@ -44,7 +44,7 @@ def main():
     aug_cfg = AugmentConfig(input_hw=input_hw, output_hw=output_hw,
                             mean=cs.MEAN, std=cs.STD)
     post = make_device_post_fn(aug_cfg, dtype=jnp.bfloat16,
-                               unshuffle_hi=8 if stage > 1 else 0)
+                               unshuffle_hi=8 if stage > 1 else 0, mesh=mesh)
     train_step = make_train_step(model, stage=stage, w1=0.1, w2=1.0, momentum=0.9,
                                  weight_decay=0.0005,
                                  ignore_label=cs.IGNORE_CLASS_LABEL, mesh=mesh,
