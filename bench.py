@@ -284,7 +284,9 @@ def _train_throughput_with_loader(stage, tree_images=96):
                 assert probe_cache.load(ipaths[k], spaths[k]) is not None
             tr = min(tr, time.perf_counter() - t0)
         breakdown["loader_rawread_ms_per_image"] = round(tr * 1000.0 / probe, 2)
+        probe_pair = (p_imgs, p_segs)
     except Exception as exc:
+        probe_pair = None
         print("loader breakdown probe failed: {}".format(exc), file=sys.stderr)
 
     # One long epoch over a repeated file list: the 42-step measured window
@@ -336,6 +338,27 @@ def _train_throughput_with_loader(stage, tree_images=96):
         key, k_step = jax.random.split(key)
         state, losses = train_step(state, imgs_dev, segs_dev, lr, k_step, labs_dev)
         return state, key, losses
+
+    # H2D staging cost of one global batch (warped images + labels + the
+    # g16 label plane, ~35 MB uint8 at the reference shapes): on a
+    # PCIe-attached chip this is ~3 ms; through the remote tunnel of this
+    # bench environment it can dominate the warm loader rate, so it is
+    # reported separately to make the bottleneck attributable.
+    if probe_pair is not None:
+        try:
+            p_imgs, p_segs = probe_pair
+            reps = -(-global_batch // p_imgs.shape[0])
+            bat = host_transform(0, 0,
+                                 np.repeat(p_imgs, reps, axis=0)[:global_batch],
+                                 np.repeat(p_segs, reps, axis=0)[:global_batch])
+            th2d = float('inf')
+            for _ in range(3):
+                t0 = time.perf_counter()
+                jax.block_until_ready(stage_batch(bat))
+                th2d = min(th2d, time.perf_counter() - t0)
+            breakdown["loader_h2d_ms_per_batch"] = round(th2d * 1000.0, 2)
+        except Exception as exc:
+            print("loader H2D probe failed: {}".format(exc), file=sys.stderr)
 
     from dualsuperreslearningforsemseg_tpu.data import DevicePrefetcher
     stream = iter(DevicePrefetcher(batches(), stage_batch))

@@ -405,6 +405,10 @@ def make_device_post_fn(cfg: AugmentConfig, dtype=jnp.float32,
     if photometric not in ('auto', 'pallas', 'xla'):
         raise ValueError("photometric must be auto|pallas|xla, got {!r}"
                          .format(photometric))
+    if photometric == 'pallas' and jitter_on:
+        raise ValueError("photometric='pallas' cannot apply ColorJitter "
+                         "(its clipped, order-shuffled ops don't fold); "
+                         "use 'xla' or disable the jitter")
     from ..utils.backend import resolve_backend
     on_tpu = resolve_backend() == 'tpu'
     use_pallas = (photometric == 'pallas'
