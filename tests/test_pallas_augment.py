@@ -74,6 +74,21 @@ def test_pallas_post_sharded(rng):
                                rtol=1e-6, atol=1e-6)
 
 
+def test_pallas_post_rejects_colorjitter():
+    """photometric='pallas' + ColorJitter is a contract violation: the
+    jitter's clipped, order-shuffled ops don't fold into the kernel's
+    affine color transform, so the request must fail loudly instead of
+    silently dropping the jitter."""
+    import pytest
+    cfg = AugmentConfig(input_hw=(16, 64), output_hw=(32, 128),
+                        color_jitter=(0.3, 0.0, 0.0, 0.0))
+    with pytest.raises(ValueError, match='ColorJitter'):
+        make_device_post_fn(cfg, photometric='pallas')
+    # 'auto' with jitter on must quietly pick the XLA formulation
+    post = make_device_post_fn(cfg, photometric='auto')
+    assert post.photometric_impl == 'xla'
+
+
 def test_pallas_post_bf16_emission(rng):
     """bf16 emission: the kernel's hi equals the XLA path's bf16 hi (same
     f32 math, same final narrowing)."""
