@@ -252,9 +252,20 @@ def train_or_resume(is_resuming_training, device, distributed, mixed_precision,
                          impl=rng_impl)
 
     def get_state_dicts():
-        host_vars = jax.device_get({'params': state.params, 'batch_stats': state.batch_stats})
+        # Called under `if master:` only — a packed state is read through
+        # device_get_state() (one fetch + numpy unpack, train/packing.py)
+        # so no device computation is ever launched from a single rank of
+        # a multi-process mesh.
+        if hasattr(state, 'device_get_state'):
+            host = state.device_get_state()
+            host_vars = {'params': host.params, 'batch_stats': host.batch_stats}
+            host_mom = host.momentum
+        else:
+            host_vars = jax.device_get({'params': state.params,
+                                        'batch_stats': state.batch_stats})
+            host_mom = jax.device_get(state.momentum)
         model_sd = state_dict(host_vars)
-        opt_sd = optimizer_state_dict(jax.device_get(state.momentum),
+        opt_sd = optimizer_state_dict(host_mom,
                                       learning_rate, momentum, weights_decay)
         return model_sd, opt_sd
 

@@ -387,7 +387,9 @@ def make_device_post_fn(cfg: AugmentConfig, dtype=jnp.float32,
     over planar strips (ops/pallas/augment_post.py; u8 in, compute dtype
     out, ~2.8 -> ~0.3 ms/step on v5e); 'xla' keeps the jnp formulation;
     'auto' picks pallas on the TPU backend when ColorJitter is off (its
-    recipe state — the jitter's clipped, order-shuffled ops don't fold).
+    recipe state — the jitter's clipped, order-shuffled ops don't fold)
+    AND a mesh without a >1 'spatial' axis was passed (see the gating
+    comment below; every production caller passes its mesh).
     Both paths draw identical per-sample decisions from the same key; the
     pallas path resizes img_lo from the compute-dtype (bf16) image instead
     of f32, a sub-ulp-of-bf16 input difference.  Pass ``mesh`` on
@@ -411,9 +413,20 @@ def make_device_post_fn(cfg: AugmentConfig, dtype=jnp.float32,
                          "use 'xla' or disable the jitter")
     from ..utils.backend import resolve_backend
     on_tpu = resolve_backend() == 'tpu'
+    # 'auto' takes the kernel only when it can be shard_mapped correctly:
+    # pallas_call has no GSPMD partitioning rule, so without a mesh a
+    # multi-device run would gather the full global batch onto every device;
+    # and on a spatial mesh the batch arrives P('data','spatial')-sharded
+    # while the kernel's shard_map covers 'data' only (full-height strips —
+    # the blur halo crosses any H split), which would allgather + recompute
+    # over 'spatial' every step.  Both fall back to the XLA formulation,
+    # like the fused tails do (train/steps.py).  Explicit 'pallas' is
+    # honored as requested (correct under resharding, just not free).
+    spatial_on = mesh is not None and mesh.shape.get('spatial', 1) > 1
     use_pallas = (photometric == 'pallas'
                   or (photometric == 'auto' and on_tpu and not jitter_on
-                      and oh % 8 == 0 and ow % 128 == 0))
+                      and oh % 8 == 0 and ow % 128 == 0
+                      and mesh is not None and not spatial_on))
 
     def params_of(keys):
         return jax.vmap(

@@ -32,7 +32,6 @@ No backward: the augment tail is upstream of every parameter.
 """
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp

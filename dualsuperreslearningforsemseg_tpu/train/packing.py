@@ -97,6 +97,25 @@ class LeafPacker:
                                         (offset + size,)).reshape(shape))
         return jax.tree_util.tree_unflatten(self.treedef, leaves)
 
+    def host_unpack(self, packed_np, bigs_np):
+        """NumPy twin of :meth:`unpack` for already-fetched host buffers.
+
+        Checkpoint reads happen on the master rank only; launching the
+        jitted unpack from a single process of a multi-process mesh would
+        dispatch a computation on arrays whose devices other ranks own.
+        Slicing the fetched buffer in numpy keeps master-only reads free of
+        any device dispatch."""
+        import numpy as np
+        leaves = []
+        for m in self.meta:
+            if m[0] == 'b':
+                leaves.append(bigs_np[m[1]])
+                continue
+            _, offset, size, shape = m
+            leaves.append(np.asarray(packed_np[offset:offset + size])
+                          .reshape(shape))
+        return jax.tree_util.tree_unflatten(self.treedef, leaves)
+
 
 class PackedTrainState:
     """Drop-in stand-in for :class:`~.steps.TrainState` whose small leaves
@@ -129,6 +148,18 @@ class PackedTrainState:
     @property
     def momentum(self):
         return self._state().momentum
+
+    def device_get_state(self):
+        """Host-side state via ONE fetch of (packed, bigs) + numpy slicing.
+
+        The properties above unpack with a jitted program — fine inside the
+        SPMD step flow, but a MASTER-ONLY caller (checkpoint autosave,
+        final-weights export) must not launch device computations that the
+        other ranks never join.  Fetching the fully-replicated buffers is
+        legal from any single process; the rebuild is pure numpy.  Also the
+        cheaper path: one transfer instead of ~900."""
+        packed, bigs = jax.device_get((self.packed, self.bigs))
+        return self.packer.host_unpack(packed, bigs)
 
     def tree_flatten(self):
         return (self.packed, self.bigs), self.packer
@@ -165,9 +196,9 @@ def pack_eval_state(params, batch_stats):
     return PackedTrainState(packed, bigs, packer)
 
 
-def wrap_step_with_packing(core_step, donate: bool = True, extra_jit_kwargs=None):
+def wrap_step_with_packing(core_step):
     """Wrap ``core_step(state, *args) -> (state', aux)`` so its jitted form
-    carries the state packed across calls.
+    carries the state packed across calls (donating the previous state).
 
     The first call may receive a plain TrainState (tests, engine startup):
     it is packed once, eagerly, and every subsequent step stays packed.
@@ -182,8 +213,7 @@ def wrap_step_with_packing(core_step, donate: bool = True, extra_jit_kwargs=None
         packed, bigs = pstate.packer.pack_state(new_state)
         return PackedTrainState(packed, bigs, pstate.packer), aux
 
-    jitted = jax.jit(packed_core, donate_argnums=(0,) if donate else (),
-                     **(extra_jit_kwargs or {}))
+    jitted = jax.jit(packed_core, donate_argnums=(0,))
 
     def ensure_packed(state):
         if isinstance(state, PackedTrainState):

@@ -56,6 +56,27 @@ def test_packed_state_properties():
         jax.tree_util.tree_structure(state.batch_stats)
 
 
+def test_host_unpack_matches_device(monkeypatch):
+    """device_get_state(): one fetch + numpy slicing, NO jit dispatch — the
+    master-only checkpoint read must not launch device computations on a
+    multi-process mesh (the other ranks never join them)."""
+    _, variables = _tiny_state()
+    state = TrainState(variables['params'], variables['batch_stats'],
+                       sgd_init(variables['params']))
+    packer = LeafPacker(state)
+    packed, bigs = packer.pack_state(state)
+    pstate = PackedTrainState(packed, bigs, packer)
+    monkeypatch.setattr(jax, 'jit',
+                        lambda *a, **k: pytest.fail('host path must not jit'))
+    host = pstate.device_get_state()
+    flat_a, tree_a = jax.tree_util.tree_flatten(state)
+    flat_b, tree_b = jax.tree_util.tree_flatten(host)
+    assert tree_a == tree_b
+    for a, b in zip(flat_a, flat_b):
+        assert isinstance(b, np.ndarray) and b.shape == a.shape
+        np.testing.assert_array_equal(np.asarray(a), b)
+
+
 def test_packed_step_matches_plain(monkeypatch):
     """3 steps packed vs 3 steps with DSRL_TPU_PACK_SMALL=0: identical."""
     model, variables = _tiny_state()

@@ -89,6 +89,27 @@ def test_pallas_post_rejects_colorjitter():
     assert post.photometric_impl == 'xla'
 
 
+def test_auto_selection_gating(monkeypatch):
+    """'auto' takes the kernel only when it can shard_map it: a mesh is
+    required (pallas_call has no GSPMD rule — no mesh on a multi-device run
+    would gather the global batch onto every device) and a >1 'spatial'
+    axis falls back like the fused tails do."""
+    from dualsuperreslearningforsemseg_tpu.utils import backend
+    from dualsuperreslearningforsemseg_tpu.parallel import make_mesh
+    monkeypatch.setattr(backend, 'resolve_backend', lambda: 'tpu')
+    cfg = AugmentConfig(input_hw=(16, 64), output_hw=(32, 128))
+    assert make_device_post_fn(cfg, photometric='auto').photometric_impl \
+        == 'xla'                                     # no mesh
+    assert make_device_post_fn(cfg, photometric='auto',
+                               mesh=make_mesh()).photometric_impl \
+        == 'pallas'                                  # data-only mesh
+    import jax as _jax
+    spatial_mesh = make_mesh(_jax.devices()[:8], spatial=2)
+    assert make_device_post_fn(cfg, photometric='auto',
+                               mesh=spatial_mesh).photometric_impl \
+        == 'xla'                                     # spatial mesh
+
+
 def test_pallas_post_bf16_emission(rng):
     """bf16 emission: the kernel's hi equals the XLA path's bf16 hi (same
     f32 math, same final narrowing)."""
