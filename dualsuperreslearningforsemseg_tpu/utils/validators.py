@@ -5,81 +5,93 @@ The distributed validator keeps the reference's 7-argument CLI shape
 /root/reference/main.py:118) but the backend choice is advisory only: on TPU
 the fabric is owned by XLA (ICI/DCN collectives), so gloo/mpi/nccl are
 accepted and ignored with a warning at train time.
+
+The user-visible error strings are the CLI contract and are kept verbatim;
+the validation logic itself is factored through the small parse helpers
+below rather than repeated inline per field.
 """
 
 import argparse
 
 
+def _nonneg_int(raw, message):
+    """Parse a CLI token as an int >= 0; ``message`` on any failure."""
+    if not raw.isnumeric():
+        raise ValueError(message)
+    value = int(raw)
+    if value < 0:
+        raise ValueError(message)
+    return value
+
+
+def _positive_int(raw, not_int_message, not_positive_message):
+    """Parse a CLI token as an int >= 1, with distinct contract messages."""
+    if not raw.isnumeric():
+        raise ValueError(not_int_message)
+    value = int(raw)
+    if value < 1:
+        raise ValueError(not_positive_message)
+    return value
+
+
+def _checked_dataset_and_split(datasets, dataset, split):
+    """Casefold + membership-check a (dataset, split) pair against the
+    registry; returns the normalized pair."""
+    dataset, split = dataset.casefold(), split.casefold()
+    if dataset not in datasets:
+        raise ValueError("Unknown dataset! Supported datasets are: {:s}.".format(', '.join(datasets)))
+    splits = datasets[dataset]['splits']
+    if split not in splits:
+        raise ValueError("Unknown dataset split! Supported splits are: {:s}.".format(', '.join(splits)))
+    return dataset, split
+
+
 class ValidateDatasetNameAndSplit(argparse.Action):
+    """``--dataset NAME SPLIT`` — both must exist in the registry passed
+    as ``const``."""
+
     def __call__(self, parser, namespace, values, option_string=None):
-        datasets = self.const
-        dataset, split = values[0].casefold(), values[1].casefold()
-
-        if dataset not in datasets:
-            raise ValueError("Unknown dataset! Supported datasets are: {:s}.".format(', '.join(datasets)))
-
-        splits = datasets[dataset]['splits']
-        if split not in splits:
-            raise ValueError("Unknown dataset split! Supported splits are: {:s}.".format(', '.join(splits)))
-
+        _checked_dataset_and_split(self.const, values[0], values[1])
         setattr(namespace, self.dest, values)
 
 
 class ValidateDatasetNameSplitAndIndex(argparse.Action):
+    """``--dataset NAME SPLIT START_INDEX`` — registry check plus a
+    non-negative integer starting index (stored parsed)."""
+
     def __call__(self, parser, namespace, values, option_string=None):
-        datasets = self.const
-        dataset, split, starting_index = values[0].casefold(), values[1].casefold(), values[2]
-
-        if dataset not in datasets:
-            raise ValueError("Unknown dataset! Supported datasets are: {:s}.".format(', '.join(datasets)))
-
-        splits = datasets[dataset]['splits']
-        if split not in splits:
-            raise ValueError("Unknown dataset split! Supported splits are: {:s}.".format(', '.join(splits)))
-
-        if not starting_index.isnumeric():
-            raise ValueError("Starting index must be an integer greater or equal to 0!")
-
-        starting_index = int(starting_index)
-        if starting_index < 0:
-            raise ValueError("Starting index must be an integer greater or equal to 0!")
-
+        dataset, split = _checked_dataset_and_split(self.const, values[0], values[1])
+        starting_index = _nonneg_int(
+            values[2], "Starting index must be an integer greater or equal to 0!")
         setattr(namespace, self.dest, [dataset, split, starting_index])
 
 
 class ValidateDistributedTrainingOptions(argparse.Action):
+    """The reference's 7-tuple distributed spec, stored as the mapping
+    ``parallel.distributed_init_kwargs`` consumes."""
+
     def __call__(self, parser, namespace, values, option_string=None):
+        master_addr = values[0]
+        master_port = _nonneg_int(values[1], "Master port must be a positive integer!")
+        nodes = _positive_int(values[2],
+                              "Nodes must be a positive integer!",
+                              "Nodes must be greater than 0!")
+        devices_per_node = _positive_int(values[3],
+                                         "Devices per node must be a positive integer!",
+                                         "Devices per node must be greater than 0!")
+
+        backend = values[4].casefold()
         backends = self.const
-        master_addr, master_port, nodes, devices_per_node, backend, init_method, node_id = \
-            values[0], values[1], values[2], values[3], values[4].casefold(), values[5].casefold(), values[6]
-
-        if not master_port.isnumeric():
-            raise ValueError("Master port must be a positive integer!")
-        master_port = int(master_port)
-
-        if not nodes.isnumeric():
-            raise ValueError("Nodes must be a positive integer!")
-        nodes = int(nodes)
-        if nodes < 1:
-            raise ValueError("Nodes must be greater than 0!")
-
-        if not devices_per_node.isnumeric():
-            raise ValueError("Devices per node must be a positive integer!")
-        devices_per_node = int(devices_per_node)
-        if devices_per_node < 1:
-            raise ValueError("Devices per node must be greater than 0!")
-
         if backend not in backends:
             raise ValueError("Supported backends must be one of: [{:s}]!".format(', '.join(backends)))
 
+        # ' ' is the reference's "no init method" sentinel (env:// rendezvous).
+        init_method = values[5].casefold()
         if init_method == ' ':
             init_method = None
 
-        if not node_id.isnumeric():
-            raise ValueError("Node id must be an integer greater or equal to 0!")
-        node_id = int(node_id)
+        node_id = _nonneg_int(values[6], "Node id must be an integer greater or equal to 0!")
 
-        # Stored as the mapping parallel.distributed_init_kwargs consumes.
         setattr(namespace, self.dest, dict(
             MASTER_ADDR=master_addr, MASTER_PORT=master_port, NODES=nodes,
             DEVICES_PER_NODE=devices_per_node, BACKEND=backend,
