@@ -13,6 +13,10 @@ def edit_checkpoint(checkpoint, key, value, typeof, **other_args):
     # 'typeof' names a builtin or dotted type ('int', 'float', 'str', ...);
     # pydoc.locate resolves it exactly like the reference does.
     coerce = pydoc.locate(typeof)
+    if coerce is None:
+        raise ValueError(
+            "Unknown type {!r} for --typeof: must name a builtin or importable "
+            "dotted type (e.g. 'int', 'float', 'str', 'bool').".format(typeof))
     state[key] = coerce(value)
     directory, filename = os.path.split(checkpoint)
     save_checkpoint(directory, filename, **state)

@@ -77,6 +77,12 @@ class LeafPacker:
                 bigs.append(leaf)
                 continue
             _, offset, size, _ = m
+            # A packed leaf whose dtype/size drifted from the template would
+            # otherwise be silently promoted by the concatenate and unpacked
+            # at the template's dtype/shape (trace-time check only).
+            assert leaf.dtype == jnp.float32 and int(leaf.size) == size, \
+                'packed leaf drifted from template: got {}[{}], expected f32[{}]'.format(
+                    leaf.dtype, int(leaf.size), size)
             if offset > pos:
                 parts.append(jnp.zeros((offset - pos,), jnp.float32))
             parts.append(leaf.reshape(size))

@@ -139,3 +139,16 @@ def test_torch_pth_numpy_scalars_allowed(tmp_path):
     assert float(out['best_miou']) == 61.2
     np.testing.assert_array_equal(out['hist'], np.arange(4))
     np.testing.assert_array_equal(out['w'], np.arange(6, dtype=np.float32).reshape(2, 3))
+
+
+def test_edit_checkpoint_unknown_typeof_names_the_string(tmp_path):
+    """A mistyped --typeof must fail with a message naming the bad value,
+    not an opaque NoneType-call error (pydoc.locate returns None)."""
+    from dualsuperreslearningforsemseg_tpu.checkpoint import save_checkpoint
+    from dualsuperreslearningforsemseg_tpu.commands.edit_checkpoint import (
+        edit_checkpoint)
+    save_checkpoint(str(tmp_path), 'x.checkpoint', epoch=3)
+    ckpt = str(tmp_path / 'x.checkpoint')
+    with pytest.raises(ValueError, match='no_such_type'):
+        edit_checkpoint(ckpt, 'epoch', '5', 'no_such_type')
+    edit_checkpoint(ckpt, 'epoch', '5', 'int')  # the happy path still works

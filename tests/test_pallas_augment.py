@@ -110,6 +110,29 @@ def test_auto_selection_gating(monkeypatch):
         == 'xla'                                     # spatial mesh
 
 
+def test_kernel_unshuffle_branch_interpret(rng):
+    """Direct interpret-mode check of photometric_planar(unshuffle=r) — the
+    in-kernel second emission.  Production keeps the MSE-target permutation
+    as an XLA transpose (Mosaic can't lower the rank-5 lane-splitting shape
+    cast), so this branch is only reachable here; the test keeps it from
+    rotting until Mosaic learns the relayout."""
+    from dualsuperreslearningforsemseg_tpu.ops.pallas.augment_post import (
+        photometric_planar)
+    b, h, w, r = 2, 16, 128, 4
+    imgs = jnp.asarray(rng.integers(0, 256, (b, 3, h, w)), jnp.uint8)
+    taps = jnp.tile(jnp.asarray([[0.25, 0.5, 0.25]], jnp.float32), (b, 1))
+    cmat = jnp.tile(jnp.eye(3, dtype=jnp.float32)[None] / 255.0, (b, 1, 1))
+    coff = jnp.zeros((b, 3), jnp.float32)
+    full, unsh = photometric_planar(imgs, taps, cmat, coff,
+                                    out_dtype=jnp.float32, interpret=True,
+                                    unshuffle=r)
+    assert unsh.shape == (b, h // r, w // r, 3 * r * r)
+    # torch PixelUnshuffle channel order: (c, i, j) fastest-varying j.
+    want = np.asarray(full).reshape(b, 3, h // r, r, w // r, r)
+    want = want.transpose(0, 2, 4, 1, 3, 5).reshape(b, h // r, w // r, -1)
+    np.testing.assert_allclose(np.asarray(unsh), want, rtol=1e-6, atol=1e-6)
+
+
 def test_pallas_post_bf16_emission(rng):
     """bf16 emission: the kernel's hi equals the XLA path's bf16 hi (same
     f32 math, same final narrowing)."""
