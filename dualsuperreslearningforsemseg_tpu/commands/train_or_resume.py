@@ -157,7 +157,9 @@ def train_or_resume(is_resuming_training, device, distributed, mixed_precision,
     batch_stats = variables['batch_stats']
     momentum_buffers = sgd_init(params)
     if resume_opt_state is not None:
-        momentum_buffers = load_optimizer_state_dict(momentum_buffers, resume_opt_state)
+        momentum_buffers = load_optimizer_state_dict(
+            momentum_buffers, resume_opt_state,
+            model_state_dict=other_args.get('model_state_dict'))
 
     # Align ranks before the first cross-process collective (the replicated
     # device_put below): host init / zoo loading skews ranks by far more
