@@ -24,14 +24,17 @@ LAYERS = (1, 1, 2, 1)  # shallow but structurally faithful (dilated layer4)
 
 
 class TorchBackbone(t.nn.Module):
-    def __init__(self):
+    def __init__(self, layers=LAYERS):
         super().__init__()
         self.conv1 = t.nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
         self.bn1 = t.nn.BatchNorm2d(64)
         self.relu = t.nn.ReLU()
         self.maxpool = t.nn.MaxPool2d(3, stride=2, padding=1)
-        # layer structure mirroring models/resnet.py with LAYERS depths and
-        # replace_stride_with_dilation=[False, False, True]
+        # torchvision ResNet structure (the reference's backbone base,
+        # /root/reference/models/modules/backbone/ResNet101.py:13-14,67-89)
+        # with replace_stride_with_dilation=[False, False, True]: layer4
+        # trades its stride for dilation 2, first block keeping the previous
+        # dilation (torchvision's `previous_dilation` rule).
         def make_layer(inplanes, planes, blocks, stride, dilation, prev_dilation):
             mods = [TorchBottleneck(inplanes, planes, stride=stride,
                                     dilation=prev_dilation, downsample=True)]
@@ -40,10 +43,10 @@ class TorchBackbone(t.nn.Module):
                                             dilation=dilation, downsample=False))
             return t.nn.Sequential(*mods)
 
-        self.layer1 = make_layer(64, 64, LAYERS[0], 1, 1, 1)
-        self.layer2 = make_layer(256, 128, LAYERS[1], 2, 1, 1)
-        self.layer3 = make_layer(512, 256, LAYERS[2], 2, 1, 1)
-        self.layer4 = make_layer(1024, 512, LAYERS[3], 1, 2, 1)  # dilated, stride 1
+        self.layer1 = make_layer(64, 64, layers[0], 1, 1, 1)
+        self.layer2 = make_layer(256, 128, layers[1], 2, 1, 1)
+        self.layer3 = make_layer(512, 256, layers[2], 2, 1, 1)
+        self.layer4 = make_layer(1024, 512, layers[3], 1, 2, 1)  # dilated, stride 1
 
     def forward(self, x):
         x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
@@ -56,11 +59,11 @@ class TorchBackbone(t.nn.Module):
 
 
 class TorchDSRL(t.nn.Module):
-    def __init__(self, num_classes=19, stage=3):
+    def __init__(self, num_classes=19, stage=3, layers=LAYERS):
         super().__init__()
         from tests.test_model_parity_torch import TorchASPP
         self.stage = stage
-        self.backbone = TorchBackbone()
+        self.backbone = TorchBackbone(layers)
         self.aspp = TorchASPP(2048, 256)
         self.shortcut = t.nn.Sequential(
             t.nn.Conv2d(256, 48, 1, bias=False), t.nn.BatchNorm2d(48), t.nn.ReLU())
