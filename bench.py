@@ -289,6 +289,18 @@ def _train_throughput_with_loader(stage, tree_images=96):
         probe_pair = None
         print("loader breakdown probe failed: {}".format(exc), file=sys.stderr)
 
+    # Measured thread-scaling curve (VERDICT r3 #3): decode+warp img/s per
+    # thread count, plus the inflate-vs-total decode attribution — the data
+    # behind any "an N-core host covers the device step" claim.
+    try:
+        repo_tools = os.path.join(os.path.dirname(os.path.abspath(__file__)), 'tools')
+        sys.path.insert(0, repo_tools)
+        from loader_scaling import measure_loader_scaling
+        breakdown["loader_scaling"] = measure_loader_scaling(
+            tree=tree, source_hw=source_hw, probe_images=min(8, len(dataset)))
+    except Exception as exc:
+        print("loader scaling probe failed: {}".format(exc), file=sys.stderr)
+
     # One long epoch over a repeated file list: the 42-step measured window
     # then has no prefetch restarts, matching a real 2975-image epoch.
     class _RepeatedTree:
@@ -560,6 +572,21 @@ def main():
             loader_rate, loader_breakdown = _train_throughput_with_loader(args.stage)
             record["loader_images_per_sec_per_chip"] = round(loader_rate, 2)
             record.update(loader_breakdown)
+            try:
+                # MEASURED cores-to-feed figure: device img/s/chip over the
+                # measured single-thread host img/s (cold = decode+warp;
+                # warm = raw-cache read + warp).
+                per_core = record["loader_scaling"]["threads"]["1"][
+                    "decode_plus_warp_img_per_s"]
+                record["loader_cores_to_cover_device_step_cold"] = round(
+                    per_chip / per_core, 1)
+                warm_ms = (record["loader_rawread_ms_per_image"]
+                           + record["loader_warp_ms_per_image"])
+                record["loader_cores_to_cover_device_step_warm"] = round(
+                    per_chip * warm_ms / 1000.0, 1)
+            except Exception as exc:
+                print("cores-to-cover derivation failed: {}".format(exc),
+                      file=sys.stderr)
         except Exception as exc:
             print("loader-included measurement failed: {}".format(exc), file=sys.stderr)
         try:
