@@ -255,21 +255,51 @@ def _train_throughput_with_loader(stage, tree_images=96):
 
     # Host-side cost accounting (min over reps filters VM scheduling noise).
     breakdown = {"loader_host_cores": os.cpu_count() or 1}
+
+    # Measured thread-scaling curve (VERDICT r3 #3): decode+warp img/s per
+    # thread count, plus the inflate-vs-total decode attribution — the data
+    # behind any "an N-core host covers the device step" claim.  Its
+    # threads=1 entry is also the single source of truth for the headline
+    # per-image decode/warp costs below.
+    try:
+        repo_tools = os.path.join(os.path.dirname(os.path.abspath(__file__)), 'tools')
+        sys.path.insert(0, repo_tools)
+        try:
+            from loader_scaling import measure_loader_scaling
+        finally:
+            sys.path.remove(repo_tools)
+        breakdown["loader_scaling"] = measure_loader_scaling(
+            tree=tree, source_hw=source_hw, probe_images=min(8, len(dataset)))
+    except Exception as exc:
+        print("loader scaling probe failed: {}".format(exc), file=sys.stderr)
+
     try:
         from dualsuperreslearningforsemseg_tpu.data.native import decode_pair_batch
         probe = min(8, len(dataset))
         ipaths = [dataset.pairs[i][0] for i in range(probe)]
         spaths = [dataset.pairs[i][1] for i in range(probe)]
-        td = tw = float('inf')
-        for _ in range(3):
-            t0 = time.perf_counter()
+        t1_entry = breakdown.get("loader_scaling", {}).get("threads", {}).get("1")
+        if t1_entry:
+            # Derive from the scaling curve rather than re-timing the same
+            # probe (two timing loops over identical work disagree by noise
+            # and double the slow host cost); one untimed decode still
+            # supplies the pixels for the raw-cache probe below.
+            breakdown["loader_decode_ms_per_image"] = round(
+                1000.0 / t1_entry["decode_img_per_s"], 2)
+            breakdown["loader_warp_ms_per_image"] = round(
+                1000.0 / t1_entry["warp_img_per_s"], 2)
             p_imgs, p_segs = decode_pair_batch(ipaths, spaths, source_hw, threads=1)
-            td = min(td, time.perf_counter() - t0)
-            t0 = time.perf_counter()
-            host_transform(0, 0, p_imgs, p_segs)
-            tw = min(tw, time.perf_counter() - t0)
-        breakdown["loader_decode_ms_per_image"] = round(td * 1000.0 / probe, 2)
-        breakdown["loader_warp_ms_per_image"] = round(tw * 1000.0 / probe, 2)
+        else:
+            td = tw = float('inf')
+            for _ in range(3):
+                t0 = time.perf_counter()
+                p_imgs, p_segs = decode_pair_batch(ipaths, spaths, source_hw, threads=1)
+                td = min(td, time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                host_transform(0, 0, p_imgs, p_segs)
+                tw = min(tw, time.perf_counter() - t0)
+            breakdown["loader_decode_ms_per_image"] = round(td * 1000.0 / probe, 2)
+            breakdown["loader_warp_ms_per_image"] = round(tw * 1000.0 / probe, 2)
         # Raw-cache read cost: what replaces the decode on warm epochs.
         from dualsuperreslearningforsemseg_tpu.data import RawPairCache
         import shutil
@@ -288,18 +318,6 @@ def _train_throughput_with_loader(stage, tree_images=96):
     except Exception as exc:
         probe_pair = None
         print("loader breakdown probe failed: {}".format(exc), file=sys.stderr)
-
-    # Measured thread-scaling curve (VERDICT r3 #3): decode+warp img/s per
-    # thread count, plus the inflate-vs-total decode attribution — the data
-    # behind any "an N-core host covers the device step" claim.
-    try:
-        repo_tools = os.path.join(os.path.dirname(os.path.abspath(__file__)), 'tools')
-        sys.path.insert(0, repo_tools)
-        from loader_scaling import measure_loader_scaling
-        breakdown["loader_scaling"] = measure_loader_scaling(
-            tree=tree, source_hw=source_hw, probe_images=min(8, len(dataset)))
-    except Exception as exc:
-        print("loader scaling probe failed: {}".format(exc), file=sys.stderr)
 
     # One long epoch over a repeated file list: the 42-step measured window
     # then has no prefetch restarts, matching a real 2975-image epoch.

@@ -423,19 +423,6 @@ def make_device_post_fn(cfg: AugmentConfig, dtype=jnp.float32,
     # like the fused tails do (train/steps.py).  Explicit 'pallas' is
     # honored as requested (correct under resharding, just not free).
     spatial_on = mesh is not None and mesh.shape.get('spatial', 1) > 1
-    if photometric == 'pallas' and mesh is None:
-        # Honored as requested, but pallas_call has no GSPMD rule: on >1
-        # devices the full global batch is gathered onto every device (the
-        # hazard the 'auto' gate exists to prevent).  Probing device_count
-        # is safe here — the caller is about to dispatch on this backend.
-        import jax as _jax
-        if _jax.device_count() > 1:
-            from ..utils.logging import CAUTION
-            print(CAUTION(
-                "photometric='pallas' without a mesh on a {}-device backend: "
-                "the kernel cannot be shard_mapped, so every device gathers "
-                "the full global batch each step. Pass mesh= or use 'auto'."
-                .format(_jax.device_count())))
     use_pallas = (photometric == 'pallas'
                   or (photometric == 'auto' and on_tpu and not jitter_on
                       and oh % 8 == 0 and ow % 128 == 0
@@ -514,6 +501,30 @@ def make_device_post_fn(cfg: AugmentConfig, dtype=jnp.float32,
         else:
             seg_lo = resize_nearest(seg_hi, cfg.input_hw, spatial_axes=(-2, -1))
         return (img_lo, img_hi), (seg_hi, seg_lo)
+
+    if photometric == 'pallas' and mesh is None:
+        # Honored as requested, but pallas_call has no GSPMD rule: on >1
+        # devices the full global batch is gathered onto every device (the
+        # hazard the 'auto' gate exists to prevent).  The device-count probe
+        # can BLOCK for minutes when the backend tunnel is wedged
+        # (utils/backend.py), so it runs at first DISPATCH — where the
+        # caller is committing to the backend anyway — never at
+        # construction, which must stay offline-safe.
+        jitted, warned = post, []
+
+        def post(imgs_w_u8, segs_w_u8, key):
+            if not warned:
+                warned.append(True)
+                import jax as _jax
+                if _jax.device_count() > 1:
+                    from ..utils.logging import CAUTION
+                    print(CAUTION(
+                        "photometric='pallas' without a mesh on a {}-device "
+                        "backend: the kernel cannot be shard_mapped, so every "
+                        "device gathers the full global batch each step. "
+                        "Pass mesh= or use 'auto'."
+                        .format(_jax.device_count())))
+            return jitted(imgs_w_u8, segs_w_u8, key)
 
     post.unshuffled_hi_factor = int(unshuffle_hi)
     post.photometric_impl = 'pallas' if use_pallas else 'xla'

@@ -85,10 +85,15 @@ class OverridePrintWithTQDMWriteAndLog:
         return self
 
     def __exit__(self, exc_type, exc_value, exc_traceback):
+        real_stdout = self._saved[0]
         sys.stdout, builtins.print = self._saved
         for sink in self._sinks[1:]:  # close only what we opened
             sink.close()
-        self._sinks = ()
+        # Anything that captured THIS instance as its stream during the block
+        # (logging handlers, tqdm bars, cached sys.stdout) may write after
+        # exit — keep forwarding those to the real stdout rather than
+        # silently discarding them; only the log file stops.
+        self._sinks = (real_stdout,)
         self._saved = None
 
 

@@ -38,6 +38,20 @@ PRODUCTION_LAYERS = (3, 4, 23, 3)
 MID_LAYERS = (2, 2, 4, 2)
 
 
+def _perturb_batch_stats(tree, rng):
+    """Give BN running stats non-trivial values in place so parity runs
+    normalize with real constants rather than the (0, 1) init — shared by
+    the eval and train-dynamics suites so both pin the SAME statistics."""
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            _perturb_batch_stats(v, rng)
+        elif k == 'running_mean':
+            tree[k] = jnp.asarray(rng.standard_normal(v.shape, dtype=np.float32) * 0.05)
+        elif k == 'running_var':
+            tree[k] = jnp.asarray(1.0 + 0.2 * rng.random(v.shape).astype(np.float32))
+
+
+
 def _to_torch_replica(variables, ref, allow_missing=()):
     """``allow_missing``: replica module prefixes our stage-gated model does
     not build (the replica always builds all branches)."""
@@ -70,15 +84,7 @@ def test_full_depth_eval_parity(rng):
                             'dropout': jax.random.PRNGKey(1)},
                            jnp.asarray(x), False)
 
-    def perturb(tree):
-        for k, v in tree.items():
-            if isinstance(v, dict):
-                perturb(v)
-            elif k == 'running_mean':
-                tree[k] = jnp.asarray(rng.standard_normal(v.shape, dtype=np.float32) * 0.05)
-            elif k == 'running_var':
-                tree[k] = jnp.asarray(1.0 + 0.2 * rng.random(v.shape).astype(np.float32))
-    perturb(variables['batch_stats'])
+    _perturb_batch_stats(variables['batch_stats'], rng)
 
     ours = model.apply(variables, jnp.asarray(x), False)
 
@@ -120,15 +126,7 @@ def _run_parity_steps(rng, monkeypatch, freeze_bn):
                            jnp.asarray(x0), False)
     # Non-trivial running stats so the frozen path normalizes with real
     # constants rather than the (0, 1) init.
-    def perturb(tree):
-        for k, v in tree.items():
-            if isinstance(v, dict):
-                perturb(v)
-            elif k == 'running_mean':
-                tree[k] = jnp.asarray(rng.standard_normal(v.shape, dtype=np.float32) * 0.05)
-            elif k == 'running_var':
-                tree[k] = jnp.asarray(1.0 + 0.2 * rng.random(v.shape).astype(np.float32))
-    perturb(variables['batch_stats'])
+    _perturb_batch_stats(variables['batch_stats'], rng)
     params0 = jax.tree_util.tree_map(np.asarray, variables['params'])
     bstats0 = jax.tree_util.tree_map(np.asarray, variables['batch_stats'])
 

@@ -9,10 +9,12 @@ contract needs is gradient/loss all-reduce,
 spatial mesh must communicate through halo collective-permutes, never
 all-to-alls.
 
-Counts are asserted as invariants, not exact numbers: XLA's combiner may
-merge all-reduces (the CPU backend currently emits one per gradient leaf),
-so the data-mesh bound is "at most one per parameter leaf plus a scalar
-handful", which still catches any per-activation reduction sneaking in.
+Counts are asserted as invariants, not exact numbers: XLA's combiner
+merges gradient all-reduces into variadic tuple-result groups (the CPU
+backend currently folds the ~102 param leaves into ~51 combined
+all-reduces), so the data-mesh bound is "at most one per parameter leaf
+plus a scalar handful", which still catches any per-activation reduction
+sneaking in (those scale with the layer count x batch, not the leaf count).
 """
 
 import re
@@ -55,9 +57,14 @@ def _compiled_collectives(monkeypatch, spatial, fused_tail):
                          batch_sharding(mesh, 3))
     txt = step.lower(state, img_lo, img_hi, seg, jnp.float32(0.001),
                      jax.random.PRNGKey(7)).compile().as_text()
-    # Count instruction DEFINITIONS ("%x = ty op(...)"), not the operand
-    # references to their names, which inflate a plain word count ~3x.
-    counts = {op: len(re.findall(r'= \S+ {}\('.format(op), txt)) for op in _OPS}
+    # Count the op CALLS ("... = <ty> op(..."), where <ty> may be a
+    # multi-token tuple type for combined/variadic collectives — a "= \S+ op("
+    # pattern silently misses every tuple-result instruction.  The name
+    # reference sites ("%all-reduce.5") never carry a following paren and the
+    # leading %/word guard keeps ops from matching inside longer op names
+    # ("all-reduce-done(", "ragged-all-to-all(").
+    counts = {op: len(re.findall(r'(?<![\w%-]){}\('.format(op), txt))
+              for op in _OPS}
     n_leaves = len(jax.tree_util.tree_leaves(variables['params']))
     return counts, n_leaves
 
@@ -67,11 +74,13 @@ def test_data_mesh_collectives_are_allreduce_only(monkeypatch):
                                              fused_tail=True)
     n_ar = counts['all-reduce'] + counts['all-reduce-start']
     assert n_ar > 0, counts
-    # XLA's combiner currently merges the whole grad + BN-moment + scalar
-    # group into ONE variadic all-reduce; allow a few uncombined stragglers
-    # but anything near per-leaf counts means the combiner (or our layout)
-    # regressed into hundreds of latency-bound small reductions.
-    assert n_ar <= 8, (n_ar, n_leaves, counts)
+    # XLA's combiner merges the grad + BN-moment + scalar reductions into
+    # variadic tuple all-reduces: measured 51 groups for the 102 param
+    # leaves on this backend.  The invariant worth pinning is "scales with
+    # the LEAF count, not the activation count" — a partitioner regression
+    # that reduces activations per layer per batch element would blow well
+    # past one-per-leaf.
+    assert n_ar <= n_leaves + 16, (n_ar, n_leaves, counts)
     assert counts['all-gather'] == 0, counts        # no accidental resharding
     assert counts['collective-permute'] == 0, counts
     assert counts['all-to-all'] == 0, counts
@@ -88,5 +97,5 @@ def test_spatial_mesh_has_halo_exchanges(monkeypatch):
     # The trunk(H-replicated) <-> decoder(H-sharded) boundary legitimately
     # all-gathers in the backward; anything beyond a small fixed set means
     # the partitioner started resharding activations wholesale (measured
-    # baseline: 10 on the 4x2 mesh).
-    assert counts['all-gather'] <= 24, counts
+    # baseline: 3 on the 4x2 mesh with the definition-counting regex).
+    assert counts['all-gather'] <= 12, counts

@@ -148,3 +148,21 @@ def test_pallas_post_bf16_emission(rng):
     exact = np.mean(np.asarray(hi_p, np.float32)
                     == np.asarray(hi_x, np.float32))
     assert exact > 0.95, exact
+
+
+def test_pallas_without_mesh_warns_at_dispatch_not_construction(rng, capsys):
+    """Explicit photometric='pallas' with mesh=None on a multi-device
+    backend: the kernel cannot be shard_mapped, so the post fn CAUTIONs —
+    but only at the first dispatch.  Construction must stay offline-safe
+    (no device probe: jax.device_count() can block for minutes on a wedged
+    backend tunnel, utils/backend.py), and the warning fires once, not per
+    step."""
+    post_p, _ = _mk('pallas')          # 8-device CPU backend via conftest
+    capsys.readouterr()
+    assert post_p.photometric_impl == 'pallas'   # attrs live on the wrapper
+    assert capsys.readouterr().out == ''         # constructing didn't warn
+    imgs, segs = _batch(rng)
+    post_p(imgs, segs, jax.random.PRNGKey(3))
+    assert 'shard_mapped' in capsys.readouterr().out
+    post_p(imgs, segs, jax.random.PRNGKey(4))
+    assert 'shard_mapped' not in capsys.readouterr().out
