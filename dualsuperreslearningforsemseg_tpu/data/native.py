@@ -25,15 +25,21 @@ _warned = False
 # Must match dp_version() in native/dataplane.cpp.  A stale .so triggers a
 # rebuild; if the rebuild fails (no toolchain on this host), a lib whose CORE
 # ABI is intact still loads so decode+warp keep running at native speed —
-# only the optional v4 label-plane feature degrades (its in-graph fallback in
-# train/steps.py costs ~7 ms/step, vs ~320 ms/step for losing the whole warp
-# path).  Callers must gate optional symbols via has_g16_labels(), never
+# only the optional features degrade (v4 label plane: its in-graph fallback
+# in train/steps.py costs ~7 ms/step, vs ~320 ms/step for losing the whole
+# warp path; v5 indexed decode errors: messages lose the failing filename).
+# Callers must gate optional symbols via has_g16_labels()/hasattr, never
 # assume them from native_available().
-_EXPECTED_VERSION = 4
+_EXPECTED_VERSION = 5
 # Core ABI, unchanged since v2 (decode + affine warp).
 _MIN_CORE_VERSION = 2
 _CORE_SYMBOLS = ('dp_version', 'dp_decode_png', 'dp_decode_pair_batch',
                  'dp_warp_pair_batch')
+
+# dataplane.cpp error codes (DecodeResult.error + batch-level 7).
+_ERROR_NAMES = {1: 'open failed', 2: 'not a PNG', 3: 'decode failed',
+                4: 'output buffer overflow', 5: 'malformed filter byte',
+                6: 'allocation failure', 7: 'unexpected dimensions'}
 
 
 def _try_build(force=False):
@@ -41,10 +47,23 @@ def _try_build(force=False):
     # with an mtime newer than dataplane.cpp turns the plain `make` into a
     # no-op.  On a failed relink make leaves the old .so in place, so the
     # stale-core fallback below still works.
+    #
+    # Cross-PROCESS exclusion: _lib_lock only serializes threads in one
+    # interpreter, but multi-process launches (world_size ranks on one host,
+    # parallel CLI invocations) all reach this make together and the linker
+    # writes the .so in place — a sibling would dlopen a truncated file and
+    # silently drop to the PIL path for its whole run.  An flock on a
+    # sidecar lockfile makes the build+link critical section exclusive; the
+    # Makefile additionally links via a tempfile + atomic rename so even a
+    # reader that skips this function (fresh-looking .so) never maps a
+    # partial image.
     cmd = ['make', '-B', '-C', _NATIVE_DIR] if force else \
           ['make', '-C', _NATIVE_DIR]
     try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        import fcntl
+        with open(os.path.join(_NATIVE_DIR, '.build.lock'), 'w') as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return True
     except Exception:
         return False
@@ -99,6 +118,10 @@ def _load_and_check():
         lib.dp_labels_g16_t.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
+    if hasattr(lib, 'dp_decode_pair_batch2'):  # optional, v5
+        lib.dp_decode_pair_batch2.restype = ctypes.c_int
+        lib.dp_decode_pair_batch2.argtypes = \
+            lib.dp_decode_pair_batch.argtypes + [ctypes.POINTER(ctypes.c_int)]
     return lib
 
 
@@ -189,13 +212,24 @@ def decode_pair_batch(img_paths, seg_paths, size_hw, lut=None, threads=None):
         lut = np.ascontiguousarray(lut, dtype=np.uint8)
         assert lut.size == 256
         lut_arg = lut.tobytes()
-    err = lib.dp_decode_pair_batch(
-        c_imgs, c_segs, n,
-        imgs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        segs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        h, w, lut_arg, threads if threads is not None else _default_threads())
+    nthreads = threads if threads is not None else _default_threads()
+    out_args = (c_imgs, c_segs, n,
+                imgs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                segs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                h, w, lut_arg, nthreads)
+    if hasattr(lib, 'dp_decode_pair_batch2'):
+        bad = ctypes.c_int(-1)
+        err = lib.dp_decode_pair_batch2(*out_args, ctypes.byref(bad))
+        bad_index = bad.value
+    else:  # stale-core library: no failing-pair identity
+        err = lib.dp_decode_pair_batch(*out_args)
+        bad_index = -1
     if err != 0:
-        raise RuntimeError("native decode failed with code {}".format(err))
+        what = _ERROR_NAMES.get(err, 'error')
+        where = '' if bad_index < 0 else " on pair ({!r}, {!r})".format(
+            img_paths[bad_index], seg_paths[bad_index])
+        raise RuntimeError("native decode failed with code {} ({}){}"
+                           .format(err, what, where))
     return imgs, segs
 
 
@@ -215,6 +249,9 @@ def warp_pair_batch(imgs, segs, matrices, out_hw, lut=None, threads=None):
     imgs = np.ascontiguousarray(imgs, dtype=np.uint8)
     segs = np.ascontiguousarray(segs, dtype=np.uint8)
     n, h0, w0 = segs.shape
+    # The C++ worker derives every stride from segs' geometry; a mismatched
+    # image batch would read far out of bounds, not error.
+    assert imgs.shape == (n, h0, w0, 3), (imgs.shape, segs.shape)
     oh, ow = out_hw
     mats = np.ascontiguousarray(matrices, dtype=np.float32).reshape(n * 6)
     imgs_out = np.empty((n, oh, ow, 3), dtype=np.uint8)

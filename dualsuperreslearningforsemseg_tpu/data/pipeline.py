@@ -220,8 +220,8 @@ class Loader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def _batches_indices(self):
-        idx = self.sampler.indices_for_epoch(self.epoch)
+    def _batches_indices(self, epoch):
+        idx = self.sampler.indices_for_epoch(epoch)
         nb = len(idx) // self.batch_size if self.drop_last else \
             (len(idx) + self.batch_size - 1) // self.batch_size
         for b in range(nb):
@@ -237,8 +237,18 @@ class Loader:
             try:
                 return decode_pair_batch(img_paths, seg_paths, self._native_hw,
                                          threads=self.native_threads)
-            except RuntimeError:
-                pass  # fall through to PIL
+            except RuntimeError as exc:
+                # Fall through to PIL so one bad file doesn't kill training,
+                # but SAY so: a silent demotion re-decodes the batch twice
+                # every epoch and hides a corrupt-dataset signal.
+                if not getattr(self, '_native_fallback_warned', False):
+                    self._native_fallback_warned = True
+                    from ..utils.logging import CAUTION
+                    print(CAUTION(
+                        "native batch decode failed ({}); retrying batches "
+                        "that hit this through the slow PIL path. If it "
+                        "persists, check the dataset files it names."
+                        .format(exc)))
         imgs, segs = [], []
         for i in real_idx:
             img, seg = self.dataset[i]
@@ -295,10 +305,14 @@ class Loader:
 
         def produce(emit, stop):
             # Any failure (decode error, native-warp error, ...) propagates
-            # into _pump's forwarding and re-raises in the consumer.
+            # into _pump's forwarding and re-raises in the consumer.  The
+            # sampler works on the SAME epoch decode_batch's RNG captured
+            # above — _batches_indices must not re-read self.epoch on this
+            # worker thread, where a set_epoch racing iterator creation
+            # would desynchronize sampling order from augmentation draws.
             with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
                 futures = []
-                for batch_number, batch_idx in self._batches_indices():
+                for batch_number, batch_idx in self._batches_indices(epoch):
                     if stop.is_set():
                         break
                     futures.append(pool.submit(decode_batch, batch_number, batch_idx))

@@ -71,7 +71,18 @@ DecodeResult decode_png(const char* path, uint8_t* out, size_t out_cap,
   }
   png_structp png =
       png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) {  // allocation failure: report, don't deref null in png_jmpbuf
+    std::fclose(fp);
+    res.error = 6;
+    return res;
+  }
   png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    std::fclose(fp);
+    res.error = 6;
+    return res;
+  }
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
     std::fclose(fp);
@@ -162,10 +173,15 @@ inline void paeth_row_bpp3_simd(uint8_t* dst, const uint8_t* prev, size_t n) {
   // 4-byte loads/stores read one byte past the 3 consumed; the next
   // iteration overwrites it, so stop while a full 4 bytes remain.
   for (; i + 4 <= n; i += 3) {
-    const int raw = *reinterpret_cast<const int*>(dst + i);
+    // memcpy'd 4-byte loads/stores: same movd codegen as a reinterpret_cast
+    // but without the unaligned, non-char-direction aliasing UB (the int
+    // accesses would be allowed to reorder against the uint8_t row stores).
+    uint32_t raw, prv;
+    std::memcpy(&raw, dst + i, 4);
+    std::memcpy(&prv, prev + i, 4);
     __m128i b = _mm_unpacklo_epi8(
-        _mm_cvtsi32_si128(*reinterpret_cast<const int*>(prev + i)), zero);
-    __m128i x = _mm_unpacklo_epi8(_mm_cvtsi32_si128(raw), zero);
+        _mm_cvtsi32_si128(static_cast<int>(prv)), zero);
+    __m128i x = _mm_unpacklo_epi8(_mm_cvtsi32_si128(static_cast<int>(raw)), zero);
     const __m128i pa = _mm_abs_epi16(_mm_sub_epi16(b, c));  // |p-a| = |b-c|
     const __m128i pb = _mm_abs_epi16(_mm_sub_epi16(a, c));  // |p-b| = |a-c|
     const __m128i pc = _mm_abs_epi16(
@@ -179,8 +195,10 @@ inline void paeth_row_bpp3_simd(uint8_t* dst, const uint8_t* prev, size_t n) {
     const __m128i packed = _mm_packus_epi16(x, x);
     // Write 3 result bytes; byte 3 must stay the next pixel's RAW value
     // (it is reloaded as input next iteration).
-    *reinterpret_cast<int*>(dst + i) =
-        (_mm_cvtsi128_si32(packed) & 0x00ffffff) | (raw & 0xff000000);
+    const uint32_t outw =
+        (static_cast<uint32_t>(_mm_cvtsi128_si32(packed)) & 0x00ffffffu) |
+        (raw & 0xff000000u);
+    std::memcpy(dst + i, &outw, 4);
     c = b;
     a = x;
   }
@@ -254,6 +272,10 @@ bool decode_png_fast(const char* path, uint8_t* out, size_t out_cap,
   std::fseek(fp, 0, SEEK_SET);
   if (fsz < 45) {  // signature + IHDR + one empty IDAT + IEND
     std::fclose(fp);
+    return false;
+  }
+  if (fsz > (1L << 30)) {  // not a dataset frame: don't slurp multi-GB files
+    std::fclose(fp);      // (libpng streams; its out_cap check rejects them)
     return false;
   }
   std::vector<uint8_t> file(static_cast<size_t>(fsz));
@@ -380,12 +402,72 @@ bool decode_png_fast(const char* path, uint8_t* out, size_t out_cap,
   return true;
 }
 
-// Fast path when applicable, libpng otherwise.
+// Fast path when applicable, libpng otherwise.  The catch is load-bearing:
+// an exception (bad_alloc from the file/raw vectors on a pathological
+// input) must not unwind across the extern "C"/ctypes boundary or escape a
+// worker thread — either std::terminate()s the whole training process where
+// the Python layer expects an error code.
 DecodeResult decode_png_auto(const char* path, uint8_t* out, size_t out_cap,
                              int force_channels) {
   DecodeResult res;
-  if (decode_png_fast(path, out, out_cap, force_channels, &res)) return res;
-  return decode_png(path, out, out_cap, force_channels);
+  try {
+    if (decode_png_fast(path, out, out_cap, force_channels, &res)) return res;
+    return decode_png(path, out, out_cap, force_channels);
+  } catch (...) {
+    res.error = 6;
+    return res;
+  }
+}
+
+// Shared body of the pair-batch decode exports.  On failure, stores the
+// error code AND the batch index of the failing pair via one
+// compare-exchange so concurrent failures report one coherent (code, index)
+// pair; `bad_index` may be null (legacy export).
+int decode_pair_batch_impl(const char** img_paths, const char** seg_paths,
+                           int n, uint8_t* imgs_out, uint8_t* segs_out, int h,
+                           int w, const uint8_t* lut, int threads,
+                           int* bad_index) {
+  if (threads < 1) threads = 1;
+  std::atomic<int> next{0};
+  std::atomic<int> err{0};
+  std::atomic<int> bad{-1};
+  const size_t img_sz = static_cast<size_t>(h) * w * 3;
+  const size_t seg_sz = static_cast<size_t>(h) * w;
+
+  auto fail = [&](int code, int index) {
+    int expected = 0;  // first failure wins; later ones keep its identity
+    if (err.compare_exchange_strong(expected, code)) bad.store(index);
+  };
+
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n || err.load() != 0) return;
+      DecodeResult ri =
+          decode_png_auto(img_paths[i], imgs_out + i * img_sz, img_sz, 3);
+      if (ri.error || ri.height != h || ri.width != w || ri.channels != 3) {
+        fail(ri.error ? ri.error : 7, i);  // 7: unexpected dimensions
+        return;
+      }
+      uint8_t* seg = segs_out + i * seg_sz;
+      DecodeResult rs = decode_png_auto(seg_paths[i], seg, seg_sz, 1);
+      if (rs.error || rs.height != h || rs.width != w || rs.channels != 1) {
+        fail(rs.error ? rs.error : 7, i);
+        return;
+      }
+      if (lut != nullptr) {
+        for (size_t p = 0; p < seg_sz; ++p) seg[p] = lut[seg[p]];
+      }
+    }
+  };
+
+  std::vector<std::thread> pool;
+  int nt = threads < n ? threads : n;
+  pool.reserve(nt);
+  for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
+  for (auto& t : pool) t.join();
+  if (bad_index != nullptr) *bad_index = bad.load();
+  return err.load();
 }
 
 }  // namespace
@@ -396,8 +478,11 @@ extern "C" {
 // data/native.py can detect a stale .so left over from an older build and
 // rebuild instead of loading it (v2: dp_warp_pair_batch, dp_labels_positions_t;
 // v3: libdeflate fast-path decode; v4: dp_labels_g16_t replaces
-// dp_labels_positions_t — the fused tail's cols-layout label operand).
-int dp_version() { return 4; }
+// dp_labels_positions_t — the fused tail's cols-layout label operand;
+// v5: dp_decode_pair_batch2 reports the failing pair's index, dimension
+// mismatch gets its own code 7, alloc-failure paths return 6 instead of
+// aborting the process).
+int dp_version() { return 5; }
 
 int dp_decode_png(const char* path, uint8_t* out, int64_t out_cap, int* h,
                   int* w, int* c, int force_channels) {
@@ -416,40 +501,19 @@ int dp_decode_png(const char* path, uint8_t* out, int64_t out_cap, int* h,
 int dp_decode_pair_batch(const char** img_paths, const char** seg_paths,
                          int n, uint8_t* imgs_out, uint8_t* segs_out, int h,
                          int w, const uint8_t* lut, int threads) {
-  if (threads < 1) threads = 1;
-  std::atomic<int> next{0};
-  std::atomic<int> err{0};
-  const size_t img_sz = static_cast<size_t>(h) * w * 3;
-  const size_t seg_sz = static_cast<size_t>(h) * w;
+  return decode_pair_batch_impl(img_paths, seg_paths, n, imgs_out, segs_out,
+                                h, w, lut, threads, nullptr);
+}
 
-  auto worker = [&]() {
-    for (;;) {
-      int i = next.fetch_add(1);
-      if (i >= n || err.load() != 0) return;
-      DecodeResult ri =
-          decode_png_auto(img_paths[i], imgs_out + i * img_sz, img_sz, 3);
-      if (ri.error || ri.height != h || ri.width != w || ri.channels != 3) {
-        err.store(ri.error ? ri.error : 5);
-        return;
-      }
-      uint8_t* seg = segs_out + i * seg_sz;
-      DecodeResult rs = decode_png_auto(seg_paths[i], seg, seg_sz, 1);
-      if (rs.error || rs.height != h || rs.width != w || rs.channels != 1) {
-        err.store(rs.error ? rs.error : 5);
-        return;
-      }
-      if (lut != nullptr) {
-        for (size_t p = 0; p < seg_sz; ++p) seg[p] = lut[seg[p]];
-      }
-    }
-  };
-
-  std::vector<std::thread> pool;
-  int nt = threads < n ? threads : n;
-  pool.reserve(nt);
-  for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
-  for (auto& t : pool) t.join();
-  return err.load();
+// v5 variant: `bad_index` (non-null) receives the batch index of the first
+// failing pair, -1 on success — so a corrupt file in a 3000-image epoch is
+// reported by NAME at the Python layer instead of as a bare code.
+int dp_decode_pair_batch2(const char** img_paths, const char** seg_paths,
+                          int n, uint8_t* imgs_out, uint8_t* segs_out, int h,
+                          int w, const uint8_t* lut, int threads,
+                          int* bad_index) {
+  return decode_pair_batch_impl(img_paths, seg_paths, n, imgs_out, segs_out,
+                                h, w, lut, threads, bad_index);
 }
 
 // Affine-warp n (image, label) pairs: bilinear for images (fill 0), nearest
@@ -518,10 +582,14 @@ int dp_warp_pair_batch(const uint8_t* imgs_in, const uint8_t* segs_in, int n,
         *pl = L[label];
       };
       // Interval of x where sx = m00*x + b stays inside [lo, hi], with a
-      // margin absorbing the 16.16 fixed-point drift of the interior loop
-      // (<= ow * 0.5/65536 = 0.008 px for ow <= 1024-class widths).
+      // margin absorbing the 16.16 fixed-point drift of the interior loop.
+      // The drift bound is (ow + 1) * 0.5/65536 px (rounding of the start
+      // coord plus ow accumulations of a rounded increment), so the margin
+      // SCALES with ow instead of assuming a width class — a fixed 0.02
+      // would silently stop covering the loop beyond ~2600-wide outputs and
+      // let near-edge interior pixels read out of bounds.
       auto span = [](float m, float b, float lo, float hi, int ow_) {
-        const double margin = 0.02;
+        const double margin = 1e-3 + (ow_ + 1) * (0.5 / 65536.0);
         double a = lo + margin, z = hi - margin;
         double xa = 0, xb = ow_;
         if (m > 1e-12) { xa = (a - b) / m; xb = (z - b) / m; }

@@ -303,3 +303,71 @@ def test_decode_rejects_crafted_huge_dims(tmp_path):
         ctypes.POINTER(ctypes.c_uint8)), out.size, ctypes.byref(h),
         ctypes.byref(w), ctypes.byref(c), 3)
     assert err != 0, "crafted huge-dims PNG must be rejected with an error"
+
+
+def test_decode_error_names_failing_pair(tree, tmp_path):
+    """v5 batch decode reports WHICH pair failed and a code name — a corrupt
+    file in a 3000-image epoch must be localizable from the error alone."""
+    ds = CityscapesDataset(tree, split='train')
+    bad = str(tmp_path / 'corrupt.png')
+    with open(bad, 'wb') as fh:
+        fh.write(b'\x89PNG\r\n\x1a\nnot really a png at all')
+    img_paths = [ds.pairs[0][0], bad]
+    seg_paths = [ds.pairs[0][1], ds.pairs[1][1]]
+    with pytest.raises(RuntimeError) as ei:
+        decode_pair_batch(img_paths, seg_paths, (64, 128))
+    assert 'corrupt.png' in str(ei.value), ei.value
+    # dimension mismatch carries its own code name (a too-SMALL buffer is
+    # caught earlier as an output-buffer overflow; a larger one decodes,
+    # then fails the size contract)
+    with pytest.raises(RuntimeError, match='unexpected dimensions'):
+        decode_pair_batch([ds.pairs[0][0]], [ds.pairs[0][1]], (128, 256))
+    with pytest.raises(RuntimeError, match='output buffer overflow'):
+        decode_pair_batch([ds.pairs[0][0]], [ds.pairs[0][1]], (32, 32))
+
+
+def test_warp_rejects_mismatched_image_batch(tree):
+    """The warp derives every stride from the LABEL geometry; an image batch
+    of a different resolution must be rejected, not read out of bounds."""
+    from dualsuperreslearningforsemseg_tpu.data.native import warp_pair_batch
+    imgs = np.zeros((2, 32, 64, 3), np.uint8)
+    segs = np.zeros((2, 64, 128), np.uint8)
+    mats = np.tile(np.asarray([[1, 0, 0], [0, 1, 0]], np.float32), (2, 1, 1))
+    with pytest.raises(AssertionError):
+        warp_pair_batch(imgs, segs, mats, (64, 128))
+
+
+def test_loader_pil_fallback_warns_once(tree, tmp_path, capsys):
+    """One undecodable file must not kill training NOR silently demote the
+    loader: the batch retries through PIL (raising its own error if the file
+    is truly unreadable) and a CAUTION names the native failure."""
+    import shutil
+    root = str(tmp_path / 'data')
+    shutil.copytree(tree, root)
+    ds = CityscapesDataset(root, split='train')
+    # Corrupt one image file IN the tree (not pairs[0]: the Loader probes
+    # that one for geometry at construction): native decode fails, PIL
+    # fails too -> the consumer sees an exception, plus the one-time CAUTION.
+    with open(ds.pairs[1][0], 'wb') as fh:
+        fh.write(b'\x89PNG\r\n\x1a\ngarbage')
+    loader = Loader(ds, batch_size=len(ds), shuffle=False, num_workers=1)
+    with pytest.raises(Exception):
+        for _ in loader:
+            pass
+    assert 'native batch decode failed' in capsys.readouterr().out
+
+
+def test_loader_iterator_pins_epoch_at_iter_time(tree):
+    """set_epoch after iter() must not desynchronize the in-flight epoch:
+    sampling order AND augmentation RNG both belong to the epoch captured
+    when the iterator was created."""
+    ds = CityscapesDataset(tree, split='train')
+    loader = Loader(ds, batch_size=2, shuffle=True, seed=99, num_workers=1)
+    loader.set_epoch(0)
+    expected = loader.sampler.indices_for_epoch(0)[:2]
+    want_imgs = np.stack([ds[int(i)][0] for i in expected])
+    it = iter(loader)           # generator: producer starts at first next()
+    loader.set_epoch(3)         # racing epoch bump must not leak in
+    imgs, segs = next(it)
+    np.testing.assert_array_equal(imgs, want_imgs)
+    it.close()
