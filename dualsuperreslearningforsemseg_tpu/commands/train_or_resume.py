@@ -46,6 +46,7 @@ from ..ops.colorize import make_input_output_visualization
 from ..parallel import (make_mesh, batch_sharding, replicate, is_master_rank,
                         data_shards_per_process,
                         initialize_distributed, rendezvous_barrier,
+                        align_first_dispatch,
                         pad_batch_to_shards, count_valid_fn)
 from ..train import (sgd_init, make_train_step, make_eval_step, TrainState,
                      optimizer_state_dict, load_optimizer_state_dict,
@@ -466,6 +467,14 @@ def train_or_resume(is_resuming_training, device, distributed, mixed_precision,
                 makeSecondsPretty(elapsed), process_end_timestamp.strftime("%c")), epochs)
             print(INFO("################################# Stage {:d} training ENDED #################################".format(stage), prefix='\n'))
 
+        # Re-align before process exit: the master just spent seconds-to-
+        # minutes on final-weights I/O that no other rank performs, and
+        # jax.distributed's atexit Shutdown barrier has a FIXED timeout —
+        # exceeding it kills the surviving ranks with a misleading
+        # connection-reset cascade.  (Same window as align_first_dispatch,
+        # at the other end of the run.)
+        rendezvous_barrier('post-train')
+
 
 def _train_epoch(state, train_step, loader, augment_fn, mesh, epoch, rng, lr,
                  stage, master):
@@ -495,6 +504,20 @@ def _train_epoch(state, train_step, loader, augment_fn, mesh, epoch, rng, lr,
                     labs_sharding, batch[2])
             return imgs_dev, segs_dev, labs_dev, batch[0].shape[0]
 
+        def dispatch(*args):
+            # Multi-process only: the step's very first execution initializes
+            # its cross-process communicator contexts — a hard ~30 s window —
+            # while its compile happens lazily AT that execution and skews
+            # across ranks by minutes when persistent-cache hits differ.
+            # AOT-compile on the real args + barrier so every rank enters the
+            # first execution together (parallel.align_first_dispatch).
+            if not getattr(train_step, '_first_dispatch_aligned', False):
+                train_step._first_dispatch_aligned = True
+                align_first_dispatch(
+                    'train-step-stage{}'.format(stage),
+                    lambda: train_step.lower(*args).compile())
+            return train_step(*args)
+
         for imgs_dev, segs_dev, labs_dev, local_bs in DevicePrefetcher(
                 loader, stage_batch):
             rng, aug_rng, step_rng = jax.random.split(rng, 3)
@@ -504,16 +527,16 @@ def _train_epoch(state, train_step, loader, augment_fn, mesh, epoch, rng, lr,
                 # position-major label operand); the photometric tail is
                 # fused inside the train step.
                 if labs_dev is not None:
-                    state, losses = train_step(state, imgs_dev, segs_dev,
-                                               jnp.float32(lr), step_rng,
-                                               labs_dev)
+                    state, losses = dispatch(state, imgs_dev, segs_dev,
+                                             jnp.float32(lr), step_rng,
+                                             labs_dev)
                 else:
-                    state, losses = train_step(state, imgs_dev, segs_dev,
-                                               jnp.float32(lr), step_rng)
+                    state, losses = dispatch(state, imgs_dev, segs_dev,
+                                             jnp.float32(lr), step_rng)
             else:
                 (img_lo, img_hi), (seg_hi, _) = augment_fn(imgs_dev, segs_dev, aug_rng)
-                state, losses = train_step(state, img_lo, img_hi, seg_hi,
-                                           jnp.float32(lr), step_rng)
+                state, losses = dispatch(state, img_lo, img_hi, seg_hi,
+                                         jnp.float32(lr), step_rng)
 
             if pending is not None:
                 _update_meters(pending, CE_avg, MSE_avg, FA_avg, Total_avg)
@@ -602,6 +625,16 @@ def _val_epoch(state, eval_step, loader, eval_fn, mesh, epoch, stage, master,
         for i, (imgs_dev, segs_dev, mask_dev) in enumerate(
                 DevicePrefetcher(loader, stage_val_batch)):
             (img_lo, img_hi), (seg_hi, _) = eval_fn(imgs_dev, segs_dev)
+            # Multi-process: align the first eval dispatch the same way the
+            # train step aligns (compile skew + master-only checkpoint I/O
+            # between the train and val passes both desynchronize ranks
+            # ahead of this NEW program's communicator init).
+            if not getattr(eval_step, '_first_dispatch_aligned', False):
+                eval_step._first_dispatch_aligned = True
+                align_first_dispatch(
+                    'eval-step-stage{}'.format(stage),
+                    lambda: eval_step.aot_compile(state, img_lo, img_hi,
+                                                  seg_hi, mask_dev))
             # from_state keeps a packed train state packed across the eval
             # boundary (train/packing.py) instead of re-materializing ~900
             # small parameter buffers per batch.

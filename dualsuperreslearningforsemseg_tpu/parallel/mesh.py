@@ -15,12 +15,14 @@ coordinator_address/num_processes/process_id.
 """
 
 import functools
+import os
+import time
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..utils.logging import CAUTION
+from ..utils.logging import CAUTION, INFO
 
 
 def make_mesh(devices=None, spatial: int = 1) -> Mesh:
@@ -172,6 +174,52 @@ def rendezvous_barrier(name: str, timeout_ms: int = 1_200_000):
             client.wait_at_barrier('dsrl_' + name, timeout_ms)
     except Exception as exc:  # barrier is best-effort; collectives still sync
         print(CAUTION("Rendezvous barrier '{}' unavailable: {}".format(name, exc)))
+
+
+def align_first_dispatch(name: str, compile_fn):
+    """Compile a step's programs on every process, then meet at a barrier,
+    BEFORE the step's first execution.
+
+    The first execution of a program with cross-process collectives
+    initializes its communicator contexts, and that handshake has a hard
+    ~30 s window (XLA's gloo KV exchange on CPU; the ICI/DCN equivalents on
+    TPU are also finite) — while jit compiles lazily AT that first call, and
+    compile times skew across ranks by MINUTES whenever one rank hits the
+    persistent compile cache and another misses.  The fast rank then sits in
+    communicator init, times out, and the whole job dies with a misleading
+    "connection reset" on the surviving ranks.
+
+    ``compile_fn`` must AOT-compile the exact program of the upcoming
+    dispatch (``step.lower(*real_args).compile()``).  Measured on jax 0.9:
+    the real call afterwards pays only retrace + in-process-cache lookup
+    (~0.7 s on a 16 s-compile program), so the post-barrier skew is
+    sub-second on every rank.  Best-effort: on failure the dispatch is
+    merely unaligned, which is today's behavior.  Single-process runs
+    return immediately.
+
+    ``DSRL_TPU_INJECT_COMPILE_DELAY='<rank>:<seconds>'`` injects a sleep on
+    one rank between its compile and the barrier — fault injection for
+    exactly the skew this protects against (used by the 2-process CLI test;
+    without the barrier a 45 s delay reproduces the communicator-init
+    timeout).
+    """
+    if jax.process_count() <= 1:
+        return
+    try:
+        compile_fn()
+    except Exception as exc:
+        print(CAUTION("AOT pre-compile for '{}' failed ({}); its first "
+                      "dispatch stays unaligned — a cross-rank compile-time "
+                      "skew above the communicator-init window may abort the "
+                      "run.".format(name, exc)))
+    inject = os.environ.get('DSRL_TPU_INJECT_COMPILE_DELAY')
+    if inject:
+        rank, _, seconds = inject.partition(':')
+        if int(rank) == jax.process_index():
+            time.sleep(float(seconds))
+    rendezvous_barrier('align_' + name)
+    print(INFO("First dispatch of '{}' aligned across {} processes."
+               .format(name, jax.process_count())))
 
 
 def initialize_distributed(distributed: dict):

@@ -404,7 +404,26 @@ def make_eval_step(model, stage: int, w1: float, w2: float, num_classes: int,
             return eval_fn(state.params, state.batch_stats, img_lo, img_hi,
                            seg, sample_mask)
 
+        def aot_compile(state, img_lo, img_hi, seg, sample_mask):
+            """AOT-compile the exact programs ``from_state`` is about to
+            dispatch on these operands, without running the metric pass —
+            multi-process first-dispatch alignment (the engine wraps this in
+            :func:`parallel.align_first_dispatch`; communicator init at the
+            first execution has a hard ~30 s window while compile times skew
+            across ranks).  ``labs_fn`` does execute here: it has no
+            cross-process collective and its sub-second compile cannot skew
+            past the window."""
+            from .packing import PackedTrainState
+            labs = labs_fn(seg)
+            if isinstance(state, PackedTrainState):
+                packed_jit.lower(state, img_lo, img_hi, labs,
+                                 sample_mask).compile()
+            else:
+                core.lower(state.params, state.batch_stats, img_lo, img_hi,
+                           labs, sample_mask).compile()
+
         eval_fn.from_state = from_state
+        eval_fn.aot_compile = aot_compile
         return eval_fn
 
     def eval_step(params, batch_stats, img_lo, img_hi, seg, sample_mask):
@@ -468,8 +487,19 @@ def make_eval_step(model, stage: int, w1: float, w2: float, num_classes: int,
         return eval_fallback(state.params, state.batch_stats, img_lo, img_hi,
                              seg, sample_mask)
 
+    def aot_compile(state, img_lo, img_hi, seg, sample_mask):
+        """See the fused path's twin: compile-only alignment hook for the
+        multi-process first dispatch."""
+        from .packing import PackedTrainState
+        if isinstance(state, PackedTrainState):
+            packed_jit.lower(state, img_lo, img_hi, seg, sample_mask).compile()
+        else:
+            jitted.lower(state.params, state.batch_stats, img_lo, img_hi, seg,
+                         sample_mask).compile()
+
     eval_fallback.pred_layout = 'full' if dry_run else 'grouped'
     eval_fallback.from_state = from_state
+    eval_fallback.aot_compile = aot_compile
     return eval_fallback
 
 

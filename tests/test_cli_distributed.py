@@ -32,14 +32,7 @@ try:
 except Exception:
     pass
 import main as cli
-port, node_id = sys.argv[1], sys.argv[2]
-cli.parse_cmdline_and_invoke_main([
-    'train', '--device', 'cpu', '--dataset', 'cityscapes', '--stage', '1',
-    '--epochs', '2', '--batch-size', '1', '--val-interval', '1',
-    '--checkpoint-interval', '1', '--checkpoint-history', '1',
-    '--num-workers', '1', '--yes',
-    '--distributed', '127.0.0.1', port, '2', '2', 'nccl', ' ', node_id,
-])
+cli.parse_cmdline_and_invoke_main(sys.argv[1:])
 """
 
 
@@ -47,6 +40,34 @@ def _free_port():
     with socket.socket() as s:
         s.bind(('127.0.0.1', 0))
         return s.getsockname()[1]
+
+
+def _run_two_processes(tmp_path, train_args, env_overrides=None, timeout=900):
+    """Launch two CLI child processes that rendezvous over jax.distributed
+    (2 virtual CPU devices each) and return ``(procs, outs)``."""
+    env = dict(os.environ)
+    flags = [f for f in env.get('XLA_FLAGS', '').split()
+             if 'xla_force_host_platform_device_count' not in f]
+    env['XLA_FLAGS'] = ' '.join(flags + ['--xla_force_host_platform_device_count=2'])
+    extra = [p for p in env.get('PYTHONPATH', '').split(os.pathsep) if p]
+    env['PYTHONPATH'] = os.pathsep.join([REPO] + extra)
+    env.setdefault('DSRL_TPU_MODEL_INPUT_SIZE', '64x128')
+    env.setdefault('DSRL_TPU_BACKBONE_LAYERS', '1,1,2,1')
+    env.update(env_overrides or {})
+
+    port = str(_free_port())
+    procs = [subprocess.Popen(
+                 [sys.executable, '-c', _CHILD] + train_args +
+                 ['--distributed', '127.0.0.1', port, '2', '2', 'nccl', ' ',
+                  str(node_id)],
+                 env=env, cwd=str(tmp_path),
+                 stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+             for node_id in (0, 1)]
+    outs = []
+    for proc in procs:
+        out, _ = proc.communicate(timeout=timeout)
+        outs.append(out)
+    return procs, outs
 
 
 @pytest.mark.slow
@@ -58,25 +79,12 @@ def test_two_process_distributed_train(tmp_path):
     make_synthetic_cityscapes_tree(data_root, split='train', num_images=8, size_hw=(64, 128))
     make_synthetic_cityscapes_tree(data_root, split='val', num_images=6, size_hw=(64, 128), seed=3)
 
-    env = dict(os.environ)
-    flags = [f for f in env.get('XLA_FLAGS', '').split()
-             if 'xla_force_host_platform_device_count' not in f]
-    env['XLA_FLAGS'] = ' '.join(flags + ['--xla_force_host_platform_device_count=2'])
-    extra = [p for p in env.get('PYTHONPATH', '').split(os.pathsep) if p]
-    env['PYTHONPATH'] = os.pathsep.join([REPO] + extra)
-    env.setdefault('DSRL_TPU_MODEL_INPUT_SIZE', '64x128')
-    env.setdefault('DSRL_TPU_BACKBONE_LAYERS', '1,1,2,1')
-
-    port = str(_free_port())
-    procs = [subprocess.Popen([sys.executable, '-c', _CHILD, port, str(node_id)],
-                              env=env, cwd=str(tmp_path),
-                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-                              text=True)
-             for node_id in (0, 1)]
-    outs = []
-    for proc in procs:
-        out, _ = proc.communicate(timeout=900)
-        outs.append(out)
+    procs, outs = _run_two_processes(tmp_path, [
+        'train', '--device', 'cpu', '--dataset', 'cityscapes', '--stage', '1',
+        '--epochs', '2', '--batch-size', '1', '--val-interval', '1',
+        '--checkpoint-interval', '1', '--checkpoint-history', '1',
+        '--num-workers', '1', '--yes',
+    ])
     for node_id, (proc, out) in enumerate(zip(procs, outs)):
         assert proc.returncode == 0, \
             "node {} failed:\n{}".format(node_id, out[-4000:])
@@ -92,3 +100,42 @@ def test_two_process_distributed_train(tmp_path):
     assert 'Validation results' in outs[0]
     assert 'Validation results' not in outs[1]
     assert 'backend' in outs[0].casefold()  # the ignored-nccl CAUTION
+
+    # Both step programs went through first-dispatch alignment on each rank
+    # (AOT compile + barrier BEFORE the communicator-initializing first
+    # execution, parallel/mesh.py::align_first_dispatch).
+    for out in outs:
+        assert "First dispatch of 'train-step-stage1' aligned across 2 processes" in out
+        assert "First dispatch of 'eval-step-stage1' aligned across 2 processes" in out
+
+
+@pytest.mark.slow
+def test_two_process_alignment_absorbs_compile_skew(tmp_path):
+    """A 45 s first-compile skew on rank 1 must not kill the run.
+
+    jit compiles lazily at the step's first execution, and that execution
+    initializes the cross-process communicators under a hard ~30 s window —
+    so whenever one rank hits the persistent compile cache and the other
+    misses (minutes of skew on the real model), the fast rank times out and
+    every surviving rank dies with a misleading connection reset.
+    ``align_first_dispatch`` AOT-compiles on the real operands and holds all
+    ranks at a barrier before the first execution;
+    ``DSRL_TPU_INJECT_COMPILE_DELAY`` fault-injects exactly the hazard, above
+    the window, between rank 1's compile and the barrier."""
+    from dualsuperreslearningforsemseg_tpu.data import make_synthetic_cityscapes_tree
+    data_root = os.path.join(str(tmp_path), 'datasets', 'Cityscapes', 'data')
+    make_synthetic_cityscapes_tree(data_root, split='train', num_images=4, size_hw=(64, 128))
+    make_synthetic_cityscapes_tree(data_root, split='val', num_images=2, size_hw=(64, 128), seed=3)
+
+    procs, outs = _run_two_processes(tmp_path, [
+        'train', '--device', 'cpu', '--dataset', 'cityscapes', '--stage', '1',
+        '--epochs', '1', '--batch-size', '1', '--val-interval', '5',
+        '--checkpoint-interval', '5', '--checkpoint-history', '1',
+        '--num-workers', '1', '--yes',
+    ], env_overrides={'DSRL_TPU_INJECT_COMPILE_DELAY': '1:45'})
+    for node_id, (proc, out) in enumerate(zip(procs, outs)):
+        assert proc.returncode == 0, \
+            "node {} failed under 45 s compile skew:\n{}".format(node_id, out[-4000:])
+    for out in outs:
+        assert "First dispatch of 'train-step-stage1' aligned across 2 processes" in out
+    assert os.path.isfile(os.path.join(str(tmp_path), 'weights', 'stage1', 'final.weights'))
