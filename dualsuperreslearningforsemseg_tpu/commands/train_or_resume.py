@@ -513,6 +513,11 @@ def _train_epoch(state, train_step, loader, augment_fn, mesh, epoch, rng, lr,
             # first execution together (parallel.align_first_dispatch).
             if not getattr(train_step, '_first_dispatch_aligned', False):
                 train_step._first_dispatch_aligned = True
+                if hasattr(train_step, 'ensure_packed'):
+                    # Pack once, up front: .lower() and the real call would
+                    # otherwise EACH pack the plain startup state (~1050
+                    # leaves through the jitted pack program).
+                    args = (train_step.ensure_packed(args[0]),) + args[1:]
                 align_first_dispatch(
                     'train-step-stage{}'.format(stage),
                     lambda: train_step.lower(*args).compile())

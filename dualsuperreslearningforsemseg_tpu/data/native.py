@@ -40,6 +40,13 @@ _CORE_SYMBOLS = ('dp_version', 'dp_decode_png', 'dp_decode_pair_batch',
 _ERROR_NAMES = {1: 'open failed', 2: 'not a PNG', 3: 'decode failed',
                 4: 'output buffer overflow', 5: 'malformed filter byte',
                 6: 'allocation failure', 7: 'unexpected dimensions'}
+# Pre-v5 libraries (the documented stale-core degrade path) used 5 as the
+# batch-level catch-all — naming it 'malformed filter byte' there would
+# send users hunting for PNG corruption when the common cause is a
+# resolution mismatch.
+_LEGACY_ERROR_NAMES = dict(_ERROR_NAMES)
+_LEGACY_ERROR_NAMES[5] = ('decode error (stale pre-v5 library: dimension '
+                          'mismatch or malformed filter byte)')
 
 
 def _try_build(force=False):
@@ -221,11 +228,13 @@ def decode_pair_batch(img_paths, seg_paths, size_hw, lut=None, threads=None):
         bad = ctypes.c_int(-1)
         err = lib.dp_decode_pair_batch2(*out_args, ctypes.byref(bad))
         bad_index = bad.value
-    else:  # stale-core library: no failing-pair identity
+        names = _ERROR_NAMES
+    else:  # stale-core library: no failing-pair identity, old code meanings
         err = lib.dp_decode_pair_batch(*out_args)
         bad_index = -1
+        names = _LEGACY_ERROR_NAMES
     if err != 0:
-        what = _ERROR_NAMES.get(err, 'error')
+        what = names.get(err, 'error')
         where = '' if bad_index < 0 else " on pair ({!r}, {!r})".format(
             img_paths[bad_index], seg_paths[bad_index])
         raise RuntimeError("native decode failed with code {} ({}){}"

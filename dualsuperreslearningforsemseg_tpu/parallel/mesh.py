@@ -164,16 +164,21 @@ def rendezvous_barrier(name: str, timeout_ms: int = 1_200_000):
     device collective).  Used immediately before the FIRST cross-process
     collective: its communicator initialization has a hard ~30 s window (XLA
     CPU gloo context / KV lookups), while host-side model init, zoo-weight
-    loading and tracing can skew ranks by minutes."""
+    loading and tracing can skew ranks by minutes.
+
+    Returns True iff the barrier was actually taken (callers that log or
+    assert on alignment must not claim it on the best-effort fallback)."""
     if jax.process_count() <= 1:
-        return
+        return True
     try:
         from jax._src import distributed as _distributed
         client = getattr(_distributed.global_state, 'client', None)
         if client is not None:
             client.wait_at_barrier('dsrl_' + name, timeout_ms)
+            return True
     except Exception as exc:  # barrier is best-effort; collectives still sync
         print(CAUTION("Rendezvous barrier '{}' unavailable: {}".format(name, exc)))
+    return False
 
 
 def align_first_dispatch(name: str, compile_fn):
@@ -205,21 +210,32 @@ def align_first_dispatch(name: str, compile_fn):
     """
     if jax.process_count() <= 1:
         return
+    compiled = True
     try:
         compile_fn()
     except Exception as exc:
+        compiled = False
         print(CAUTION("AOT pre-compile for '{}' failed ({}); its first "
                       "dispatch stays unaligned — a cross-rank compile-time "
                       "skew above the communicator-init window may abort the "
                       "run.".format(name, exc)))
     inject = os.environ.get('DSRL_TPU_INJECT_COMPILE_DELAY')
     if inject:
-        rank, _, seconds = inject.partition(':')
-        if int(rank) == jax.process_index():
-            time.sleep(float(seconds))
-    rendezvous_barrier('align_' + name)
-    print(INFO("First dispatch of '{}' aligned across {} processes."
-               .format(name, jax.process_count())))
+        try:  # test-only fault injection; a malformed value must not abort
+            rank, _, seconds = inject.partition(':')
+            rank, seconds = int(rank), float(seconds)
+        except ValueError:
+            print(CAUTION("Ignoring malformed DSRL_TPU_INJECT_COMPILE_DELAY="
+                          "{!r} (expected '<rank>:<seconds>').".format(inject)))
+        else:
+            if rank == jax.process_index():
+                time.sleep(seconds)
+    # Every rank must still reach the barrier on a failed compile (the
+    # OTHERS are waiting at it); only the INFO claim is gated, so the
+    # distributed tests asserting on it catch a silently-disabled barrier.
+    if rendezvous_barrier('align_' + name) and compiled:
+        print(INFO("First dispatch of '{}' aligned across {} processes."
+                   .format(name, jax.process_count())))
 
 
 def initialize_distributed(distributed: dict):

@@ -227,7 +227,10 @@ def wrap_step_with_packing(core_step):
         packer = packer_box.get('p')
         if packer is None:
             packer = packer_box['p'] = LeafPacker(state)
-        packed, bigs = jax.jit(packer.pack_state)(state)
+        pack_jit = packer_box.get('pack_jit')
+        if pack_jit is None:  # memoized: a fresh wrapper per call would
+            pack_jit = packer_box['pack_jit'] = jax.jit(packer.pack_state)
+        packed, bigs = pack_jit(state)
         return PackedTrainState(packed, bigs, packer)
 
     def step(state, *args):

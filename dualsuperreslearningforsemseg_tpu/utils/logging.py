@@ -54,7 +54,9 @@ class OverridePrintWithTQDMWriteAndLog:
 
     def __init__(self, log_filename=None):
         self._log_filename = log_filename
-        self._sinks = ()
+        # Before __enter__ (or after a stray manual install), writes forward
+        # to the current real stdout instead of vanishing.
+        self._sinks = (sys.stdout,)
         self._saved = None  # (sys.stdout, builtins.print) while active
 
     # -- file-like interface (installed as sys.stdout while active) --
@@ -85,6 +87,8 @@ class OverridePrintWithTQDMWriteAndLog:
         return self
 
     def __exit__(self, exc_type, exc_value, exc_traceback):
+        if self._saved is None:  # defensive teardown without __enter__
+            return
         real_stdout = self._saved[0]
         sys.stdout, builtins.print = self._saved
         for sink in self._sinks[1:]:  # close only what we opened

@@ -47,3 +47,70 @@ def test_devices_per_node_does_not_change_process_world():
     kwargs_a, _ = distributed_init_kwargs(_tuple(DEVICES_PER_NODE=1))
     kwargs_b, _ = distributed_init_kwargs(_tuple(DEVICES_PER_NODE=16))
     assert kwargs_a == kwargs_b
+
+
+class _Cap:
+    def __init__(self):
+        self.lines = []
+
+    def __call__(self, *args, **kwargs):
+        self.lines.append(' '.join(str(a) for a in args))
+
+
+def _align(monkeypatch, env_value, barrier_ok=True, compile_raises=False):
+    """Drive align_first_dispatch with a stubbed 2-process world and capture
+    its prints; returns (printed lines, compile_fn call count)."""
+    from dualsuperreslearningforsemseg_tpu.parallel import mesh as pm
+    monkeypatch.setattr(pm.jax, 'process_count', lambda: 2)
+    monkeypatch.setattr(pm.jax, 'process_index', lambda: 0)
+    monkeypatch.setattr(pm, 'rendezvous_barrier', lambda name: barrier_ok)
+    cap = _Cap()
+    monkeypatch.setattr('builtins.print', cap)
+    if env_value is None:
+        monkeypatch.delenv('DSRL_TPU_INJECT_COMPILE_DELAY', raising=False)
+    else:
+        monkeypatch.setenv('DSRL_TPU_INJECT_COMPILE_DELAY', env_value)
+    calls = []
+
+    def compile_fn():
+        calls.append(1)
+        if compile_raises:
+            raise RuntimeError('boom')
+
+    pm.align_first_dispatch('unit', compile_fn)
+    return cap.lines, len(calls)
+
+
+def test_align_malformed_injection_env_is_ignored_with_caution(monkeypatch):
+    # A leftover/typo'd test knob must never abort a production run
+    # (int('all') / float('45s') would otherwise raise inside the align path).
+    for bad in ('1:45s', 'all:10', '45', ':', 'x'):
+        lines, ncalls = _align(monkeypatch, bad)
+        assert ncalls == 1
+        assert any('malformed DSRL_TPU_INJECT_COMPILE_DELAY' in l for l in lines), bad
+        assert any('aligned across 2 processes' in l for l in lines), bad
+
+
+def test_align_claims_alignment_only_when_barrier_and_compile_succeed(monkeypatch):
+    # The distributed tests assert on the INFO string; it must not be
+    # printable when the barrier was unavailable or the compile failed,
+    # or a silently-disabled barrier would be undetectable.
+    lines, _ = _align(monkeypatch, None, barrier_ok=True)
+    assert any('aligned across 2 processes' in l for l in lines)
+    lines, _ = _align(monkeypatch, None, barrier_ok=False)
+    assert not any('aligned across 2 processes' in l for l in lines)
+    lines, _ = _align(monkeypatch, None, compile_raises=True)
+    assert not any('aligned across 2 processes' in l for l in lines)
+    assert any('AOT pre-compile' in l for l in lines)
+
+
+def test_align_injects_delay_on_matching_rank_only(monkeypatch):
+    import time as _time
+    slept = []
+    from dualsuperreslearningforsemseg_tpu.parallel import mesh as pm
+    monkeypatch.setattr(pm.time, 'sleep', lambda s: slept.append(s))
+    lines, _ = _align(monkeypatch, '0:0.25')  # stubbed process_index() == 0
+    assert slept == [0.25]
+    slept.clear()
+    _align(monkeypatch, '1:0.25')  # other rank: no sleep here
+    assert slept == []

@@ -79,6 +79,11 @@ def measure_loader_scaling(tree=None, probe_images=8, thread_counts=None,
     result = {'cores': cores, 'probe_images': n,
               'source_hw': list(source_hw), 'threads': {}}
     for tc in thread_counts:
+        # Pin the WARP's native threads too: without set_native_threads the
+        # transform runs at the standalone default min(8, cores), so on a
+        # multi-core host every "per-thread-count" warp rate would really be
+        # an 8-thread rate and the cores-to-cover derivation would lie.
+        host_transform.set_native_threads(tc)
         td = tw = float('inf')
         for _ in range(reps):
             t0 = time.perf_counter()
