@@ -31,7 +31,10 @@ def conv_transpose_2x2_stride2(x: jnp.ndarray, weight: jnp.ndarray,
     assert cin == cin_w, "weight Cin mismatch"
     # (Cin, Cout, 2, 2) -> (Cin, 2, 2, Cout) -> (Cin, 4*Cout) so a single
     # matmul produces all four output positions of the 2x2 block at once.
-    wmat = jnp.transpose(weight, (0, 2, 3, 1)).reshape(cin, 4 * cout)
+    # Cast to the activation dtype: a bf16 x against the raw f32 param would
+    # silently promote the whole matmul to f32 (CLAUDE.md rule 8, ~4x MXU).
+    wmat = jnp.transpose(weight, (0, 2, 3, 1)).reshape(
+        cin, 4 * cout).astype(x.dtype)
     y = jnp.einsum('bhwi,io->bhwo', x, wmat,
                    preferred_element_type=jnp.float32).astype(x.dtype)
     y = y.reshape(b, h, w, 2, 2, cout)          # (B,H,W,ki,kj,Cout)
@@ -63,7 +66,10 @@ def conv_transpose_2x2_stride2_grouped(x: jnp.ndarray, weight: jnp.ndarray,
     nesting.
     """
     cin, cout = weight.shape[0], weight.shape[1]
-    wmat = jnp.transpose(weight, (0, 2, 3, 1)).reshape(cin, 4 * cout)
+    # Activation-dtype cast: same silent-f32-promotion guard as the plain
+    # variant above.
+    wmat = jnp.transpose(weight, (0, 2, 3, 1)).reshape(
+        cin, 4 * cout).astype(x.dtype)
     if x.ndim == 4:
         b, h, w, _ = x.shape
         y = jnp.einsum('bhwi,io->bhwo', x, wmat,

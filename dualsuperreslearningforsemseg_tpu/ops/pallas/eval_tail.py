@@ -41,7 +41,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .fused_tail import (_BLK, _G, _NPOS, _NCOLS, _NROWS, _row_tile,
-                         _tile_logits_t, _specs, pack_tail_params_cols)
+                         _tile_logits_t, _specs, _ce_terms,
+                         pack_tail_params_cols)
 
 
 def _eval_kernel(x_ref, wp_ref, bp_ref, lt_ref, pred_ref, ce_ref, cnt_ref,
@@ -67,20 +68,21 @@ def _eval_kernel(x_ref, wp_ref, bp_ref, lt_ref, pred_ref, ce_ref, cnt_ref,
     lab = lt_ref[:].astype(jnp.int32).reshape(nb, 1, r)
     classes = jax.lax.broadcasted_iota(jnp.int32, lg.shape, 1)
 
-    # Argmax over the class (sublane) axis; pad classes carry bias -1e30 so
-    # they never win.  First-maximal tie-break, like argmax_lastdim.
-    m = jnp.max(lg, axis=1, keepdims=True)               # (16, 1, R)
-    pred = jnp.min(jnp.where(lg == m, classes, _BLK), axis=1, keepdims=True)
-
-    # CE, exactly as the training kernel's forward.
-    z = jnp.sum(jnp.exp(lg - m), axis=1, keepdims=True)
-    picked = jnp.sum(jnp.where(classes == lab, lg, 0.0), axis=1,
-                     keepdims=True)
-    valid = lab != ignore_label                          # (16, 1, R)
-    nll = jnp.where(valid, m + jnp.log(z) - picked, 0.0)
+    # CE: the train forward kernel's implementation, shared (fused_tail.py::
+    # _ce_terms) so train/eval CE cannot drift apart; m is the per-pixel
+    # class max it already computed.
+    nll, valid, m = _ce_terms(lg, lab, bp_ref, ignore_label)
     ce_acc = jnp.sum(nll, axis=(0, 2))
     validf = valid.astype(jnp.float32)
     cnt_acc = jnp.sum(validf, axis=(0, 2))
+
+    # Argmax over the class (sublane) axis; pad classes carry bias -1e30 so
+    # they never win.  First-maximal tie-break, like argmax_lastdim.  The
+    # _BLK sentinel survives only when NOTHING equals the max (all-NaN logits
+    # from a diverged checkpoint); clamp it into class range exactly like
+    # argmax_lastdim does (metrics/device.py), instead of emitting class 32.
+    pred = jnp.min(jnp.where(lg == m, classes, _BLK), axis=1, keepdims=True)
+    pred = jnp.minimum(pred, num_classes - 1)
 
     # Histogram areas (reference mIoU semantics, metrics/device.py):
     #   pred / intersection restricted to valid-label pixels, target to

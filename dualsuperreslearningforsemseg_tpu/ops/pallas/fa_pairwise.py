@@ -33,42 +33,57 @@ from jax.experimental.pallas import tpu as pltpu
 
 _ROW_TILE = 8
 _J_TILE = 128
+# i-axis tile: bounds the in-flight (ROW_TILE, TI, TJ) f32 pair tile at
+# 512 KB regardless of N.  Without it the tile's i extent was the FULL N —
+# 8*N*128*4 bytes, i.e. VMEM exhaustion right in the large-N regime
+# (N >= 2048) for which losses/fa.py auto-selects this kernel over the
+# dense path.  Same divisibility guarantee as the j axis (N % 128 == 0).
+_I_TILE = 128
 
 
 def _fwd_kernel(a_ref, b_ref, out_ref):
     # NB: every intermediate stays rank >= 2 — Mosaic's vector layouts reject
     # rank-1 values (layout.h "arr.size() >= layout_rank" check).
-    a = a_ref[:]                      # (ROW_TILE, N)
-    n = a.shape[1]
-    num_j_tiles = n // _J_TILE
+    n = a_ref.shape[1]
 
     def body(jt, acc):                # acc: (ROW_TILE, TJ)
         bt = b_ref[:, pl.ds(jt * _J_TILE, _J_TILE)]          # (ROW_TILE, TJ)
-        diff = jnp.abs(a[:, :, None] - bt[:, None, :])       # (ROW_TILE, N, TJ)
-        return acc + jnp.sum(diff, axis=1)
 
-    acc = jax.lax.fori_loop(0, num_j_tiles, body,
+        def ibody(it, acc2):
+            at = a_ref[:, pl.ds(it * _I_TILE, _I_TILE)]      # (ROW_TILE, TI)
+            diff = jnp.abs(at[:, :, None] - bt[:, None, :])  # (ROW_TILE, TI, TJ)
+            return acc2 + jnp.sum(diff, axis=1)
+
+        return jax.lax.fori_loop(0, n // _I_TILE, ibody, acc)
+
+    acc = jax.lax.fori_loop(0, n // _J_TILE, body,
                             jnp.zeros((_ROW_TILE, _J_TILE), jnp.float32))
     out_ref[:] = jnp.broadcast_to(jnp.sum(acc, axis=1, keepdims=True),
                                   (_ROW_TILE, 128))
 
 
 def _bwd_kernel(a_ref, b_ref, da_ref, db_ref):
-    a = a_ref[:]                      # (ROW_TILE, N)
-    n = a.shape[1]
-    num_j_tiles = n // _J_TILE
+    n = a_ref.shape[1]
 
-    # da accumulates in-place across j tiles; db per-tile is written directly.
+    # Both gradients accumulate in-place across the tile loops.
     da_ref[:] = jnp.zeros_like(da_ref)
+    db_ref[:] = jnp.zeros_like(db_ref)
 
     def body(jt, _):
-        bt = b_ref[:, pl.ds(jt * _J_TILE, _J_TILE)]          # (ROW_TILE, TJ)
-        s = jnp.sign(a[:, :, None] - bt[:, None, :])         # (ROW_TILE, N, TJ)
-        da_ref[:] = da_ref[:] + jnp.sum(s, axis=2)
-        db_ref[:, pl.ds(jt * _J_TILE, _J_TILE)] = -jnp.sum(s, axis=1)
-        return 0
+        jd = pl.ds(jt * _J_TILE, _J_TILE)
+        bt = b_ref[:, jd]                                    # (ROW_TILE, TJ)
 
-    jax.lax.fori_loop(0, num_j_tiles, body, 0)
+        def ibody(it, _2):
+            idx = pl.ds(it * _I_TILE, _I_TILE)
+            at = a_ref[:, idx]                               # (ROW_TILE, TI)
+            s = jnp.sign(at[:, :, None] - bt[:, None, :])    # (ROW_TILE, TI, TJ)
+            da_ref[:, idx] = da_ref[:, idx] + jnp.sum(s, axis=2)
+            db_ref[:, jd] = db_ref[:, jd] - jnp.sum(s, axis=1)
+            return 0
+
+        return jax.lax.fori_loop(0, n // _I_TILE, ibody, 0)
+
+    jax.lax.fori_loop(0, n // _J_TILE, body, 0)
 
 
 def _pad_rows(x):
@@ -145,7 +160,6 @@ def _vjp_bwd(interpret, residuals, g):
                                       transcendentals=0),
         interpret=interpret,
     )(af, bf)
-    rows = a.shape[0]
     gcol = g[:, None]
     return ((da[:rows] * gcol).astype(a.dtype),
             (db[:rows] * gcol).astype(b.dtype))

@@ -89,6 +89,35 @@ def _tile_logits_t(x, wp_ref, bp_ref):
     return y + bp_ref[:]                         # bias (_NROWS, 1) broadcasts
 
 
+def _real_class_rows(bp_ref, shape):
+    """(nb, _BLK, 1) mask of REAL class rows — pad rows are marked by their
+    ``_NEG`` bias.  A label in [num_classes, _BLK) must match nothing: the
+    XLA CE's one-hot (built over the real classes only) contracts such a
+    label to a picked logit of 0, whereas matching a pad row would pick its
+    -1e30 bias and blow the NLL up to ~1e30."""
+    nb, blk, _ = shape
+    return bp_ref[:].reshape(nb, blk, 1) != _NEG
+
+
+def _ce_terms(lg, lab, bp_ref, ignore_label):
+    """Per-pixel masked-CE terms — THE implementation shared by the train
+    forward kernel and the eval kernel (eval_tail.py), so train/eval CE
+    cannot drift apart.  Matches losses/cross_entropy.py's one-hot
+    contraction exactly, including out-of-range non-ignore labels (see
+    :func:`_real_class_rows`).
+
+    Returns ``(nll, valid, m)``: (nb, 1, R) f32 NLL (0 where invalid), the
+    bool valid mask, and the per-pixel class max (reused by eval's argmax)."""
+    m = jnp.max(lg, axis=1, keepdims=True)               # (nb, 1, R)
+    z = jnp.sum(jnp.exp(lg - m), axis=1, keepdims=True)
+    classes = jax.lax.broadcasted_iota(jnp.int32, lg.shape, 1)
+    match = (classes == lab) & _real_class_rows(bp_ref, lg.shape)
+    picked = jnp.sum(jnp.where(match, lg, 0.0), axis=1, keepdims=True)
+    valid = lab != ignore_label
+    nll = jnp.where(valid, m + jnp.log(z) - picked, 0.0)
+    return nll, valid, m
+
+
 def _fwd_kernel(x_ref, wp_ref, bp_ref, lt_ref, ce_ref, cnt_ref, *, ignore_label):
     # NB: every intermediate stays rank >= 2 — Mosaic's vector layouts reject
     # rank-1 values (layout.h "arr.size() >= layout_rank" check).
@@ -105,13 +134,7 @@ def _fwd_kernel(x_ref, wp_ref, bp_ref, lt_ref, ce_ref, cnt_ref, *, ignore_label)
     nb = _G * _NPOS
     lg = logits.reshape(nb, _BLK, r)
     lab = lt_ref[:].astype(jnp.int32).reshape(nb, 1, r)
-    m = jnp.max(lg, axis=1, keepdims=True)               # (16, 1, R)
-    z = jnp.sum(jnp.exp(lg - m), axis=1, keepdims=True)
-    classes = jax.lax.broadcasted_iota(jnp.int32, lg.shape, 1)
-    picked = jnp.sum(jnp.where(classes == lab, lg, 0.0), axis=1,
-                     keepdims=True)
-    valid = lab != ignore_label
-    nll = jnp.where(valid, m + jnp.log(z) - picked, 0.0)  # (16, 1, R)
+    nll, valid, _ = _ce_terms(lg, lab, bp_ref, ignore_label)
     ce_acc = jnp.sum(nll, axis=(0, 2))                    # (1,)
     cnt_acc = jnp.sum(valid.astype(jnp.float32), axis=(0, 2))
     ce_ref[:] = ce_ref[:] + jnp.broadcast_to(ce_acc.reshape(1, 1), ce_ref.shape)
@@ -138,7 +161,13 @@ def _bwd_kernel(x_ref, wp_ref, bp_ref, lt_ref, s_ref, dx_ref, dwp_ref,
     e = jnp.exp(lg - m)                                  # pad rows: exactly 0
     p = e / jnp.sum(e, axis=1, keepdims=True)
     classes = jax.lax.broadcasted_iota(jnp.int32, lg.shape, 1)
-    onehot = (classes == lab).astype(jnp.float32)
+    # Pad-row mask for the same reason as the forward's picked-logit mask
+    # (_real_class_rows): an out-of-range label's one-hot must be all-zero,
+    # exactly like the XLA CE's one-hot over the real classes.  (Without it
+    # the stray -1 lands on a pad row whose dW/db/dX contributions are
+    # structurally discarded anyway, but keep the math identical.)
+    onehot = ((classes == lab) & _real_class_rows(bp_ref, lg.shape)
+              ).astype(jnp.float32)
     valid = (lab != ignore_label).astype(jnp.float32)
     dlogits = ((p - onehot) * (scale * valid)).reshape(_NROWS, r)
     dlb = dlogits.astype(x.dtype)

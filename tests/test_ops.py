@@ -141,3 +141,35 @@ def test_group_labels_matches_ungroup(rng):
     # route through ungroup (needs a channel axis) and compare
     back = ungroup_2x2(grouped[..., None].astype(np.float32))[..., 0]
     np.testing.assert_array_equal(np.asarray(back).astype(np.int32), seg)
+
+
+def test_conv_transpose_variants_do_not_promote_bf16_to_f32():
+    """Every ConvT variant must cast the weight to the activation dtype
+    before the matmul: a bf16 activation against the raw f32 parameter would
+    silently promote the einsum to a full-f32 matmul (the CLAUDE.md rule-8
+    hazard, ~4x MXU throughput).  Checked on the jaxpr: no dot_general may
+    see an f32 operand when the activation is bf16."""
+    import jax
+    from dualsuperreslearningforsemseg_tpu.ops.conv import (
+        conv_transpose_2x2_stride2, conv_transpose_2x2_stride2_grouped,
+        conv_transpose_2x2_stride2_cols, conv_transpose_2x2_stride2_corner)
+
+    w = jnp.zeros((19, 19, 2, 2), jnp.float32)
+    x4 = jnp.zeros((1, 4, 4, 19), jnp.bfloat16)
+    x5 = jnp.zeros((1, 4, 4, 4, 19), jnp.bfloat16)
+
+    def assert_bf16_dots(fn, *args):
+        jaxpr = jax.make_jaxpr(fn)(*args)
+        dots = [eqn for eqn in jaxpr.jaxpr.eqns
+                if eqn.primitive.name == 'dot_general']
+        assert dots, "expected a matmul in {}".format(fn)
+        for eqn in dots:
+            for v in eqn.invars:
+                assert v.aval.dtype == jnp.bfloat16, \
+                    "f32 operand leaked into the matmul: {}".format(eqn)
+
+    assert_bf16_dots(lambda x: conv_transpose_2x2_stride2(x, w), x4)
+    assert_bf16_dots(lambda x: conv_transpose_2x2_stride2_grouped(x, w), x4)
+    assert_bf16_dots(lambda x: conv_transpose_2x2_stride2_grouped(x, w), x5)
+    assert_bf16_dots(lambda x: conv_transpose_2x2_stride2_cols(x, w), x4)
+    assert_bf16_dots(lambda x: conv_transpose_2x2_stride2_corner(x, w), x4)

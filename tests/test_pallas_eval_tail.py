@@ -92,3 +92,40 @@ def test_eval_tail_tie_break_lowest_class(rng):
         interpret=True)
     assert int(np.asarray(pred_t).max()) == 0
     assert int(np.asarray(hists[0])[0]) == seg.size  # all pixels -> class 0
+
+
+def test_eval_tail_out_of_range_labels_match_xla(rng):
+    """Same contract as the train kernel (shared _ce_terms): a label in the
+    pad band [19, 32) contributes its full logsumexp to the CE, not a pad
+    row's -1e30 bias."""
+    y1, wt, bi, seg = _case(rng, ignore_rows=0)
+    seg = np.asarray(seg).copy()
+    seg[0, :3] = 25
+    seg[1, :2] = 40
+    seg = jnp.asarray(seg)
+    ce_ref, pred_ref, hists_ref, acc_ref = _xla_reference(y1, wt, bi, seg)
+    _, ce, hists, acc = fused_convt2_eval(
+        to_cols(y1), wt, bi, group_labels_g16_t(seg), 255, 19,
+        interpret=True)
+    assert np.isfinite(float(ce))
+    np.testing.assert_allclose(float(ce), float(ce_ref), rtol=1e-5, atol=1e-7)
+    for h_new, h_ref in zip(hists, hists_ref):
+        np.testing.assert_array_equal(np.asarray(h_new), np.asarray(h_ref))
+    assert int(acc[0]) == int(acc_ref[0]) and int(acc[1]) == int(acc_ref[1])
+
+
+def test_eval_tail_nan_logits_clamp_like_argmax_lastdim(rng):
+    """All-NaN logit pixels (a diverged checkpoint under eval) must produce
+    the same clamped class num_classes-1 as argmax_lastdim, not the
+    out-of-range block sentinel 32."""
+    y1, wt, bi, seg = _case(rng, ignore_rows=0)
+    y1 = jnp.full_like(y1, jnp.nan)
+    _, pred_ref, hists_ref, _ = _xla_reference(y1, wt, bi, seg)
+    pred_t, ce, hists, _ = fused_convt2_eval(
+        to_cols(y1), wt, bi, group_labels_g16_t(seg), 255, 19,
+        interpret=True)
+    assert np.isnan(float(ce))         # CE is NaN on both paths
+    p = np.asarray(pred_t)
+    assert p.min() == p.max() == 18 == int(np.asarray(pred_ref).max())
+    for h_new, h_ref in zip(hists, hists_ref):
+        np.testing.assert_array_equal(np.asarray(h_new), np.asarray(h_ref))

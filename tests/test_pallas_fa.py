@@ -90,3 +90,24 @@ def test_fa_loss_pallas_impl_matches_sorted(rng):
     finally:
         pk.fa_allpairs_abs_mean_pallas = orig
     assert abs(pallas_val - sorted_val) < 1e-5
+
+
+def test_gradients_match_dense_multi_tile(rng):
+    """Gradients with several 128-wide i/j tiles in flight: the blocked
+    backward accumulates da across j tiles AND db across i tiles — both
+    read-modify-write paths must survive the tiling (the forward-only
+    parametrized test cannot catch a bwd accumulation bug)."""
+    a = jnp.asarray(rng.standard_normal((3, 384), dtype=np.float32))
+    b = jnp.asarray(rng.standard_normal((3, 384), dtype=np.float32))
+
+    def pallas_loss(a, b):
+        return fa_allpairs_abs_mean_pallas(a, b, True)
+
+    def dense_loss(a, b):
+        return jnp.abs(a[:, :, None] - b[:, None, :]).sum(axis=(1, 2)).mean() / (384 * 384)
+
+    gp = jax.grad(pallas_loss, argnums=(0, 1))(a, b)
+    gd = jax.grad(dense_loss, argnums=(0, 1))(a, b)
+    for ours, ref in zip(gp, gd):
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)

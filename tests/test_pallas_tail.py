@@ -123,3 +123,33 @@ def test_train_step_fused_tail_matches_xla_path(rng, stage):
         assert abs(float(out[False][0][k]) - float(out[True][0][k])) < 1e-5, k
     for a, b in zip(jax.tree.leaves(out[False][1]), jax.tree.leaves(out[True][1])):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_fused_tail_out_of_range_labels_match_xla(rng):
+    """Corrupted non-ignore labels must contribute their pixel's full
+    logsumexp — exactly what the XLA one-hot contraction yields (picked
+    logit 0) — and must NOT match a pad class row, whose -1e30 bias would
+    blow a single pixel's NLL up to ~1e30 and destroy the batch mean."""
+    y1, wt, bi, _, seg = _case(rng, ignore_rows=0)
+    seg = np.asarray(seg).copy()
+    seg[0, :3] = 25    # inside the kernel's pad-class band [19, 32)
+    seg[1, :2] = 40    # beyond the 32-row class block entirely
+    seg = jnp.asarray(seg)
+    seg_g = group_labels(seg, 4)
+    labs_t = group_labels_g16_t(seg)
+
+    def ref(y1, wt, bi):
+        logits = conv_transpose_2x2_stride2_grouped(y1, wt, bi)
+        return cross_entropy_loss(logits, seg_g, 255)
+
+    def fused(y1, wt, bi):
+        return fused_convt2_ce_mean(to_cols(y1), wt, bi, labs_t, 255,
+                                    interpret=True)
+
+    v1, g1 = jax.value_and_grad(ref, argnums=(0, 1, 2))(y1, wt, bi)
+    v2, g2 = jax.value_and_grad(fused, argnums=(0, 1, 2))(y1, wt, bi)
+    assert np.isfinite(float(v2))
+    assert abs(float(v1) - float(v2)) < 1e-5
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
