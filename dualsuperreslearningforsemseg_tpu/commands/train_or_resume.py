@@ -205,7 +205,8 @@ def train_or_resume(is_resuming_training, device, distributed, mixed_precision,
         emit_positions = not dry_run and not spatial_mesh and has_g16_labels()
         host_transform = make_host_warp_transform(aug_cfg, ds_settings.LABEL_MAPPING_LUT,
                                                   settings.RANDOM_SEED,
-                                                  emit_position_labels=emit_positions)
+                                                  emit_position_labels=emit_positions,
+                                                  rank=jax.process_index())
         # stage>1: emit the MSE target pre-unshuffled (the SISR loss's
         # layout) straight from the post emission write — see
         # data/augment.py::make_device_post_fn.  dry-run keeps full-res

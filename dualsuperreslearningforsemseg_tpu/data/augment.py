@@ -36,6 +36,18 @@ import jax.numpy as jnp
 from ..ops.resize import (resize_bilinear_align_corners, resize_bilinear_matmul,
                           resize_bilinear_matmul_hw, resize_nearest)
 
+# ITU-R 601 luma mix — torchvision Grayscale's coefficients
+# (/root/reference/models/transforms/JointRandomGrayscale.py via PIL 'L').
+# ONE definition: the jitter's gray, the fallback grayscale, and the folded
+# color affine (gray_mix) must stay in lockstep.
+_LUMA = (0.299, 0.587, 0.114)
+
+
+def _luma_of(img):
+    """(..., 3) -> (..., 1) ITU-R 601 luma."""
+    return (_LUMA[0] * img[..., 0] + _LUMA[1] * img[..., 1]
+            + _LUMA[2] * img[..., 2])[..., None]
+
 
 @dataclasses.dataclass(frozen=True)
 class AugmentConfig:
@@ -177,8 +189,7 @@ def _color_jitter(img, key, cfg: AugmentConfig):
     fs = jax.random.uniform(k_s, (), minval=max(0.0, 1 - s), maxval=1 + s)
     fh = jax.random.uniform(k_h, (), minval=-h, maxval=h)
 
-    def gray_of(x):
-        return (0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2])[..., None]
+    gray_of = _luma_of
 
     def op_brightness(x):
         return jnp.clip(x * fb, 0.0, 1.0) if b else x
@@ -241,7 +252,7 @@ def make_train_augment_fn(cfg: AugmentConfig, label_lut: np.ndarray):
         img_hi = jnp.where(do_blur, _gaussian_blur3(img_hi, sigma), img_hi)
 
         do_gray = jax.random.bernoulli(k_gray, cfg.grayscale_p)
-        gray = (0.299 * img_hi[..., 0] + 0.587 * img_hi[..., 1] + 0.114 * img_hi[..., 2])[..., None]
+        gray = _luma_of(img_hi)
         img_hi = jnp.where(do_gray, jnp.broadcast_to(gray, img_hi.shape), img_hi)
 
         img_hi = (img_hi - mean) / std
@@ -293,7 +304,8 @@ def sample_affine_matrices_np(rng: np.random.Generator, n: int, src_hw, out_hw,
 
 
 def make_host_warp_transform(cfg: AugmentConfig, label_lut: np.ndarray, seed: int,
-                             emit_position_labels: bool = False):
+                             emit_position_labels: bool = False,
+                             rank: int = 0):
     """Host-side warp for the Loader's decode threads: samples per-batch
     affine matrices (deterministic in (seed, epoch, batch)) and runs the
     native C++ bilinear/nearest warp with fused label LUT.
@@ -314,9 +326,17 @@ def make_host_warp_transform(cfg: AugmentConfig, label_lut: np.ndarray, seed: in
     # letting the native calls take their standalone default (min(8, cores))
     # would spawn num_workers x default threads and thrash the host CPUs.
     state = {'threads': None}
+    # Multi-process: mix the RANK into the stream, or every process would
+    # draw the SAME per-batch warp matrices at each (epoch, batch_index) and
+    # the global batch's augmentation diversity shrinks by world_size (the
+    # reference's per-worker DataLoader RNGs are independent).  rank 0 keeps
+    # the historical [seed, epoch, batch] stream so single-process draws are
+    # unchanged.
+    rank_entropy = [rank] if rank else []
 
     def transform(epoch, batch_index, imgs_u8, segs_u8):
-        r = np.random.default_rng(np.random.SeedSequence([seed, epoch, batch_index]))
+        r = np.random.default_rng(np.random.SeedSequence(
+            rank_entropy + [seed, epoch, batch_index]))
         mats = sample_affine_matrices_np(r, imgs_u8.shape[0], imgs_u8.shape[1:3],
                                          cfg.output_hw, cfg)
         imgs_w, segs_w = warp_pair_batch(imgs_u8, segs_u8, mats, cfg.output_hw,
@@ -401,7 +421,7 @@ def make_device_post_fn(cfg: AugmentConfig, dtype=jnp.float32,
     ih, iw = cfg.input_hw
     exact2x = (oh == 2 * ih and ow == 2 * iw)
     jitter_on = any(cfg.color_jitter)
-    gray_mix = jnp.array([0.299, 0.587, 0.114], jnp.float32)
+    gray_mix = jnp.array(_LUMA, jnp.float32)
     coff = -mean / std
 
     if photometric not in ('auto', 'pallas', 'xla'):
@@ -411,6 +431,14 @@ def make_device_post_fn(cfg: AugmentConfig, dtype=jnp.float32,
         raise ValueError("photometric='pallas' cannot apply ColorJitter "
                          "(its clipped, order-shuffled ops don't fold); "
                          "use 'xla' or disable the jitter")
+    if photometric == 'pallas' and (oh % 8 or ow % 128):
+        # The same tile gate 'auto' applies silently — explicit requests get
+        # the diagnosis at construction instead of a bare kernel shape
+        # assert at the first jitted dispatch.
+        raise ValueError(
+            "photometric='pallas' needs output_hw with H % 8 == 0 and "
+            "W % 128 == 0 (the kernel's 8-row reflect-halo strips on "
+            "128-wide lanes), got {}x{}; use 'xla'".format(oh, ow))
     from ..utils.backend import resolve_backend
     on_tpu = resolve_backend() == 'tpu'
     # 'auto' takes the kernel only when it can be shard_mapped correctly:

@@ -21,6 +21,7 @@ _SO_PATH = os.path.join(_NATIVE_DIR, 'libdsrl_dataplane.so')
 _lib = None
 _lib_lock = threading.Lock()
 _warned = False
+_last_build_error = None   # last _try_build failure, for the degrade CAUTION
 
 # Must match dp_version() in native/dataplane.cpp.  A stale .so triggers a
 # rebuild; if the rebuild fails (no toolchain on this host), a lib whose CORE
@@ -64,6 +65,7 @@ def _try_build(force=False):
     # Makefile additionally links via a tempfile + atomic rename so even a
     # reader that skips this function (fresh-looking .so) never maps a
     # partial image.
+    global _last_build_error
     cmd = ['make', '-B', '-C', _NATIVE_DIR] if force else \
           ['make', '-C', _NATIVE_DIR]
     try:
@@ -71,8 +73,20 @@ def _try_build(force=False):
         with open(os.path.join(_NATIVE_DIR, '.build.lock'), 'w') as lock:
             fcntl.flock(lock, fcntl.LOCK_EX)
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        _last_build_error = None
         return True
-    except Exception:
+    except subprocess.CalledProcessError as exc:
+        # Keep the actual compiler/linker complaint for the degrade CAUTION:
+        # "no toolchain" was the message for EVERY failure mode (missing
+        # headers, lock on a read-only checkout, timeout, ...), sending
+        # users down the wrong path while the run silently pays ~12x per
+        # decode on PIL.
+        tail = (exc.stderr or b'').decode(errors='replace').strip().splitlines()
+        _last_build_error = 'make exited {}: {}'.format(
+            exc.returncode, tail[-1] if tail else 'no stderr')
+        return False
+    except Exception as exc:
+        _last_build_error = '{}: {}'.format(type(exc).__name__, exc)
         return False
 
 
@@ -175,9 +189,10 @@ def get_lib():
                 _warned = True
         if lib is None:
             if not _warned:
-                print(CAUTION("Native data plane unavailable (no toolchain, or "
-                              "a stale library that would not rebuild); "
-                              "falling back to PIL decode."))
+                detail = _last_build_error or 'library failed its ABI check'
+                print(CAUTION("Native data plane unavailable ({}); falling "
+                              "back to PIL decode. `make -C native` shows "
+                              "the full build output.".format(detail)))
                 _warned = True
             _lib = False
             return None

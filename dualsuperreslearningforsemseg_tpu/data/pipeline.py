@@ -310,11 +310,13 @@ class Loader:
             # above — _batches_indices must not re-read self.epoch on this
             # worker thread, where a set_epoch racing iterator creation
             # would desynchronize sampling order from augmentation draws.
-            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            pool = ThreadPoolExecutor(max_workers=self.num_workers)
+            completed = False
+            try:
                 futures = []
                 for batch_number, batch_idx in self._batches_indices(epoch):
                     if stop.is_set():
-                        break
+                        return
                     futures.append(pool.submit(decode_batch, batch_number, batch_idx))
                     # Bound the number of in-flight decode jobs.
                     while len(futures) >= self.num_workers + self.prefetch:
@@ -325,5 +327,13 @@ class Loader:
                     if stop.is_set():
                         return
                     emit(fut.result())
+                completed = True
+            finally:
+                # Abnormal exit (consumer abandoned the generator mid-epoch,
+                # or a decode raised) must not block teardown on the queued
+                # decode backlog — cancel what never started and let only
+                # the already-running batches drain on their own threads.
+                # Normal completion keeps the plain waiting shutdown.
+                pool.shutdown(wait=completed, cancel_futures=not completed)
 
         return _pump(produce, maxsize=self.prefetch)

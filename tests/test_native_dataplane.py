@@ -371,3 +371,23 @@ def test_loader_iterator_pins_epoch_at_iter_time(tree):
     imgs, segs = next(it)
     np.testing.assert_array_equal(imgs, want_imgs)
     it.close()
+
+
+def test_host_warp_transform_rank_independent_draws(tree):
+    """Multi-process: each rank must draw DIFFERENT warp matrices at the same
+    (epoch, batch_index) — identical draws would shrink the global batch's
+    augmentation diversity by world_size.  rank 0 keeps the historical
+    [seed, epoch, batch] stream (single-process draws unchanged)."""
+    from dualsuperreslearningforsemseg_tpu.data import (make_host_warp_transform,
+                                                        AugmentConfig)
+    ds = CityscapesDataset(tree, split='train')
+    img, seg = ds[0]
+    cfg = AugmentConfig(input_hw=(32, 64), output_hw=(64, 128))
+    tf0 = make_host_warp_transform(cfg, cs.LABEL_MAPPING_LUT, seed=1)
+    tf0r = make_host_warp_transform(cfg, cs.LABEL_MAPPING_LUT, seed=1, rank=0)
+    tf1 = make_host_warp_transform(cfg, cs.LABEL_MAPPING_LUT, seed=1, rank=1)
+    a = tf0(3, 0, img[None], seg[None])
+    a0 = tf0r(3, 0, img[None], seg[None])
+    b = tf1(3, 0, img[None], seg[None])
+    np.testing.assert_array_equal(a[0], a0[0])   # default == rank 0
+    assert not np.array_equal(a[0], b[0])        # rank 1 diverges
