@@ -111,8 +111,14 @@ def fa_loss(feature_map1: jnp.ndarray, feature_map2: jnp.ndarray,
         # The N² pair tensor is tiny at production shapes (N=256 -> 65k
         # elements/slice): plain elementwise math beats any clever scheme and
         # carries zero compile risk.  The blocked pallas kernel / sorted
-        # closed form take over only when N² would actually blow up memory.
-        if n_sim * n_sim <= 4_000_000:
+        # closed form take over only when the FULL pair tensor — all
+        # B*C slices, f32, forward AND its same-size gradient — would
+        # actually blow up memory, so the bound is on slices * N², not on
+        # one slice's N² (a (16, 352, 352, 19) input keeps N² at ~3.7M but
+        # carries 304 slices ≈ 4.6 GB dense).  256M f32 elements ≈ 1 GB
+        # fwd + 1 GB bwd, comfortably under a v5e chip's HBM next to the
+        # model state.
+        if p1.shape[0] * n_sim * n_sim <= 256_000_000:
             impl = 'dense'
         else:
             # Offline-safe backend resolution (utils/backend.py): a pinned

@@ -52,7 +52,12 @@ def _conv(features, kernel, stride=1, padding=0, use_bias=False, in_channels=Non
     # activations with the f32 params into f32 convolutions (see
     # models/resnet.py::_conv — the round-3 profile finding).
     bias_init = nn.initializers.zeros
-    if use_bias and in_channels is not None:
+    if use_bias:
+        # in_channels is what torch's default U(+/-1/sqrt(fan_in)) bias init
+        # needs; a biased conv without it would silently zero-init and drift
+        # the from-scratch init parity.
+        assert in_channels is not None, \
+            "BUG CHECK: _conv(use_bias=True) requires in_channels for the torch bias init"
         bias_init = torch_conv_bias_init(in_channels * kernel * kernel)
     return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
                    padding=((padding, padding), (padding, padding)),
@@ -102,6 +107,7 @@ class FeatureExtractor(nn.Module):
     """backbone + aspp + shortcut -> concatenated decoder features."""
     dtype: jnp.dtype = jnp.float32
     backbone_layers: tuple = None  # None -> settings.BACKBONE_LAYERS
+    zero_init_last_bn: bool = True  # False -> reference's effective init (resnet.py)
 
     @nn.compact
     def __call__(self, x, train: bool, freeze_bn: bool = False):
@@ -113,7 +119,9 @@ class FeatureExtractor(nn.Module):
         # trunk must stay batch-sharded (parallel/spatial.py) — bracketing
         # input, backbone outputs, and ASPP output keeps GSPMD from
         # back-propagating the decoders' H-sharding into the trunk.
-        backbone_features, lowlevel_features = ResNet101(layers=layers, dtype=self.dtype, name='backbone')(pin_trunk(x), train, freeze_bn)
+        backbone_features, lowlevel_features = ResNet101(
+            layers=layers, zero_init_last_bn=self.zero_init_last_bn,
+            dtype=self.dtype, name='backbone')(pin_trunk(x), train, freeze_bn)
         backbone_features = pin_trunk(backbone_features)
         lowlevel_features = pin_trunk(lowlevel_features)
         aspp_features = ASPP(out_channels=256, rate=1, dtype=self.dtype, name='aspp')(backbone_features, train, freeze_bn)
@@ -136,9 +144,13 @@ def _even_hw_select(y):
     output element is a single 1.0 * x product.  Accepts the 5-D grouped
     (B, H, W, 4, C) or the 4-D cols (B, H, W, 4*blk) orientation."""
     h, w = y.shape[1], y.shape[2]
-    sel_h = (jnp.arange(h // 2)[:, None] * 2 ==
+    # ceil-div row counts: ``::2`` keeps (h+1)//2 rows — h//2 would drop the
+    # last sample row/column whenever H or W is odd (reachable through a
+    # DSRL_TPU_MODEL_INPUT_SIZE that is 2 mod 4) and silently skew the FA
+    # corner feed against the reference's stride-8 conv.
+    sel_h = (jnp.arange((h + 1) // 2)[:, None] * 2 ==
              jnp.arange(h)[None, :]).astype(y.dtype)
-    sel_w = (jnp.arange(w // 2)[:, None] * 2 ==
+    sel_w = (jnp.arange((w + 1) // 2)[:, None] * 2 ==
              jnp.arange(w)[None, :]).astype(y.dtype)
     if y.ndim == 4:
         y = jnp.einsum('mh,bhwc->bmwc', sel_h, y)
@@ -276,6 +288,7 @@ class DSRL(nn.Module):
     num_classes: int
     dtype: jnp.dtype = jnp.float32
     backbone_layers: tuple = None  # None -> settings.BACKBONE_LAYERS
+    zero_init_last_bn: bool = True  # False -> reference's effective init (resnet.py)
 
     @nn.compact
     def __call__(self, x, train: bool = False, freeze_bn: bool = False,
@@ -288,7 +301,10 @@ class DSRL(nn.Module):
         # record_function scope (/root/reference/models/DSRL.py:159).
         with jax.named_scope('DSRL.forward'):
             x = x.astype(self.dtype)
-            cat_features = FeatureExtractor(dtype=self.dtype, backbone_layers=self.backbone_layers, name='feature_extractor')(x, train, freeze_bn)
+            cat_features = FeatureExtractor(
+                dtype=self.dtype, backbone_layers=self.backbone_layers,
+                zero_init_last_bn=self.zero_init_last_bn,
+                name='feature_extractor')(x, train, freeze_bn)
             want_fa_corner = grouped and self.stage > 2
             sssr_output = SSSRDecoder(self.num_classes, dtype=self.dtype, name='SSSR_decoder')(
                 cat_features, train, freeze_bn, grouped,

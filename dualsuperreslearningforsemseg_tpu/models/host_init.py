@@ -44,11 +44,17 @@ def init_model_host(model, input_hw, seed=0):
     rngs = {'params': jax.random.PRNGKey(seed),
             'dropout': jax.random.PRNGKey(seed + 1)}
     x = jnp.zeros((1, *input_hw, 3), jnp.float32)
-    cpu = host_cpu_device()
-    if cpu is not None:
+    if host_cpu_device() is not None:
         try:
-            with host_init_cache_guard(), jax.default_device(cpu):
+            with host_init_context():
                 return jax.jit(model.init, static_argnums=(2,))(rngs, x, False)
-        except Exception:
-            pass
+        except Exception as exc:
+            # Fall back, but SAY so: eager init on a tunneled TPU is minutes
+            # of tiny-kernel compiles (the hazard this module exists to
+            # avoid) — a silent demotion would read as a mystery stall.
+            from ..utils.logging import CAUTION
+            print(CAUTION("Host-CPU model init failed ({}: {}); falling "
+                          "back to eager init on the default device — "
+                          "expect a slow start on TPU."
+                          .format(type(exc).__name__, exc)))
     return model.init(rngs, x, False)

@@ -89,6 +89,9 @@ class ResNet101(nn.Module):
     """Returns (layer4_features, layer1_features) like the reference backbone."""
     layers: Sequence[int] = (3, 4, 23, 3)
     replace_stride_with_dilation: Sequence[bool] = (False, False, True)
+    # False reproduces the reference's EFFECTIVE init (bn3.weight == 1.0 —
+    # see the module docstring); forwarded to every block.
+    zero_init_last_bn: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -146,6 +149,7 @@ class ResNet101(nn.Module):
                     stride=stride if first else 1,
                     dilation=previous_dilation if first else dilation,
                     has_downsample=first and (stride != 1 or inplanes != planes * Bottleneck.expansion),
+                    zero_init_last_bn=self.zero_init_last_bn,
                     dtype=self.dtype,
                     name=f'layer{layer_idx + 1}.{block_idx}')(x, train, freeze_bn)
                 if first:

@@ -193,3 +193,30 @@ def test_backbone_remat_is_numerically_identical(rng, mode):
     assert abs(val0 - val1) < 1e-5 * abs(val0)
     for a, b in zip(jax.tree.leaves(grads0), jax.tree.leaves(grads1)):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_zero_init_last_bn_false_reproduces_reference_effective_init():
+    """zero_init_last_bn=False (the reference's EFFECTIVE init — its init
+    loop re-overwrites bn3 back to 1.0, models/resnet.py docstring) must be
+    reachable through the public DSRL model, not just raw Bottlenecks."""
+    model = DSRL(stage=1, num_classes=19, backbone_layers=(1, 1, 2, 1),
+                 zero_init_last_bn=False)
+    x = jnp.zeros((1, *TINY_HW, 3), jnp.float32)
+    variables = model.init({'params': jax.random.PRNGKey(0),
+                            'dropout': jax.random.PRNGKey(1)}, x, False)
+    sd = state_dict(variables)
+    np.testing.assert_array_equal(sd['feature_extractor.backbone.layer1.0.bn3.weight'], 1.0)
+
+
+def test_even_hw_select_matches_strided_slice_on_odd_dims(rng):
+    """_even_hw_select documents itself as ``y[:, ::2, ::2]`` — that slice
+    keeps ceil(h/2) rows, including for ODD extents (reachable via a model
+    input size that is 2 mod 4)."""
+    from dualsuperreslearningforsemseg_tpu.models.dsrl import _even_hw_select
+    for h, w in [(6, 10), (5, 9), (7, 10), (6, 11)]:
+        y = jnp.asarray(rng.standard_normal((2, h, w, 4, 3)), jnp.float32)
+        np.testing.assert_array_equal(np.asarray(_even_hw_select(y)),
+                                      np.asarray(y[:, ::2, ::2]))
+        y4 = y.reshape(2, h, w, 12)
+        np.testing.assert_array_equal(np.asarray(_even_hw_select(y4)),
+                                      np.asarray(y4[:, ::2, ::2]))
