@@ -144,9 +144,14 @@ def _train_throughput(stage):
     # program = all addressable chips' work).
     flops_per_step = None
     try:
-        compiled = train_step.lower(state, imgs_dev, segs_dev, lr,
-                                    jax.random.split(key)[0], labs_dev).compile()
-        cost = compiled.cost_analysis()
+        # Behind _retry: a dropped remote-compile response here silently
+        # loses the MFU/TFLOP keys from the bench JSON (observed once).
+        def _cost():
+            compiled = train_step.lower(state, imgs_dev, segs_dev, lr,
+                                        jax.random.split(key)[0],
+                                        labs_dev).compile()
+            return compiled.cost_analysis()
+        cost = _retry(_cost, "cost_analysis")
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops_per_step = float(cost.get('flops', 0.0)) or None
