@@ -554,23 +554,13 @@ def _stage1_eval_throughput():
     return steps * global_batch / (time.time() - start) / n_chips
 
 
-def main():
-    global BATCH
-    parser = argparse.ArgumentParser()
-    parser.add_argument('--stage', type=int, default=3, choices=(1, 2, 3))
-    parser.add_argument('--batch', type=int, default=BATCH,
-                        help="Per-chip batch size (default {})".format(BATCH))
-    parser.add_argument('--skip-extras', action='store_true',
-                        help="Measure only the training-throughput metric")
-    args = parser.parse_args()
-    BATCH = args.batch
-
+def _apply_cache_config():
+    """Share the CLI's persistent accelerator cache, keyed by the backend
+    actually in use: a CPU-pinned bench run must land in the
+    host-identity-keyed CPU dir (fsutil), never the shared accelerator
+    dir — XLA:CPU entries are host-specific AOT machine code."""
     import jax
     try:
-        # Share the CLI's persistent accelerator cache, keyed by the backend
-        # actually in use: a CPU-pinned bench run must land in the
-        # host-identity-keyed CPU dir (fsutil), never the shared accelerator
-        # dir — XLA:CPU entries are host-specific AOT machine code.
         from dualsuperreslearningforsemseg_tpu.utils.fsutil import compile_cache_dir
         from dualsuperreslearningforsemseg_tpu.utils.backend import resolve_backend
         jax.config.update('jax_compilation_cache_dir',
@@ -579,74 +569,259 @@ def main():
     except Exception:
         pass
 
-    train = _train_throughput(args.stage)
+
+# ---------------------------------------------------------------------------
+# Section workers.  Each returns a flat dict of record keys; the orchestrator
+# runs each one in a BOUNDED SUBPROCESS so a wedged remote compile (which
+# blocks inside PJRT C++ where neither SIGALRM handlers nor thread timers can
+# interrupt it) degrades to a killed child + a "timed out" key instead of the
+# whole bench dying with nothing (BENCH_r04 was rc=124, parsed: null).
+# ---------------------------------------------------------------------------
+
+def _section_train(stage):
+    train = _train_throughput(stage)
     per_chip = train.pop("images_per_sec_per_chip")
+    if stage == 3:
+        out = {"value": round(per_chip, 2)}
+        out.update(train)
+    else:
+        out = {"stage{}_train_images_per_sec_per_chip".format(stage): round(per_chip, 2)}
+        if "mfu" in train:
+            out["stage{}_mfu".format(stage)] = train["mfu"]
+    return out
+
+
+def _section_loader():
+    loader_rate, loader_breakdown = _train_throughput_with_loader(3)
+    out = {"loader_images_per_sec_per_chip": round(loader_rate, 2)}
+    out.update(loader_breakdown)
+    return out
+
+
+def _section_latency():
+    e2e_ms, device_ms = _p50_test_latency()
+    # BASELINE.json's "p50 test latency" tracks single-image `test`
+    # inference.  In THIS environment the end-to-end number is ~96%
+    # remote-tunnel RTT (measured: device 2.8 ms inside a 70-140 ms
+    # e2e); device_test_latency_ms is the hardware-meaningful figure
+    # a locally-attached chip would see end-to-end.
+    return {
+        "p50_test_latency_ms": round(e2e_ms, 2),
+        "device_test_latency_ms": round(device_ms, 2),
+        "p50_note": (
+            "p50_test_latency_ms includes this environment's ~100 ms "
+            "TPU-tunnel round trip; device_test_latency_ms is the "
+            "device-side latency the BASELINE p50 target tracks on "
+            "locally attached hardware"),
+    }
+
+
+def _section_eval():
+    return {"stage1_eval_images_per_sec_per_chip": round(_stage1_eval_throughput(), 2)}
+
+
+_SECTION_FNS = {
+    "stage3_train": lambda: _section_train(3),
+    "stage2_train": lambda: _section_train(2),
+    "stage1_train": lambda: _section_train(1),
+    "loader": _section_loader,
+    "latency": _section_latency,
+    "stage1_eval": _section_eval,
+}
+
+# (name, timeout_s).  Timeouts bound COLD-compile worst cases (full-model
+# remote compiles are 1-10 min each; the loader section compiles three
+# programs); against a warm persistent cache every section finishes in
+# under two minutes.
+_SECTION_PLAN = (
+    ("stage3_train", 2400),
+    ("loader", 1800),
+    ("stage1_eval", 1200),
+    ("latency", 1200),
+    ("stage2_train", 1500),
+    ("stage1_train", 1500),
+)
+
+
+def _derive_cores_to_cover(record):
+    """MEASURED cores-to-feed figure: device img/s/chip over the measured
+    single-thread host img/s (cold = decode+warp; warm = raw-cache read +
+    warp).  Needs both the stage-3 and loader sections' keys."""
+    try:
+        per_chip = record["value"]
+        per_core = record["loader_scaling"]["threads"]["1"][
+            "decode_plus_warp_img_per_s"]
+        record["loader_cores_to_cover_device_step_cold"] = round(
+            per_chip / per_core, 1)
+        warm_ms = (record["loader_rawread_ms_per_image"]
+                   + record["loader_warp_ms_per_image"])
+        record["loader_cores_to_cover_device_step_warm"] = round(
+            per_chip * warm_ms / 1000.0, 1)
+    except (KeyError, TypeError, ZeroDivisionError):
+        pass
+
+
+def _latest_prior_bench(repo_dir):
+    """Newest BENCH_r{N}.json with a non-null parsed record, or None."""
+    import glob
+    import os
+    import re
+    best_round, best = -1, None
+    for path in glob.glob(os.path.join(repo_dir, 'BENCH_r*.json')):
+        m = re.search(r'BENCH_r(\d+)\.json$', path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                parsed = json.load(f).get('parsed')
+        except (OSError, ValueError):
+            continue
+        if isinstance(parsed, dict) and int(m.group(1)) > best_round:
+            best_round, best = int(m.group(1)), parsed
+    return best_round if best else None, best
+
+
+_REGRESSION_KEYS = (
+    "value", "mfu",
+    "stage1_eval_images_per_sec_per_chip",
+    "stage2_train_images_per_sec_per_chip",
+    "stage1_train_images_per_sec_per_chip",
+    "loader_warm_images_per_sec_per_chip",
+)
+
+
+def _regression_flags(record, prev):
+    """Self-regression sentinel: flag any headline metric >3% below the
+    latest prior round's driver-recorded value (BENCH_r*.json sit in the
+    worktree, so the bench itself can diff them)."""
+    flags = {}
+    for key in _REGRESSION_KEYS:
+        cur, old = record.get(key), prev.get(key)
+        if (isinstance(cur, (int, float)) and isinstance(old, (int, float))
+                and old > 0):
+            delta = (cur - old) / old
+            if delta < -0.03:
+                flags[key] = {"prev": old, "cur": cur,
+                              "delta_pct": round(delta * 100.0, 1)}
+    return flags
+
+
+def _parse_last_json_line(text):
+    for line in reversed(text.splitlines()):
+        line = line.strip()
+        if line.startswith('{'):
+            try:
+                parsed = json.loads(line)
+            except ValueError:
+                continue
+            if isinstance(parsed, dict):
+                return parsed
+    return None
+
+
+def _emit(record, prev_bench):
+    """(Re-)print the full record as one JSON line.  Called after EVERY
+    completed section, so whatever kills the run, the last stdout line is a
+    parseable record of everything measured so far."""
+    prev_round, prev = prev_bench
+    if prev:
+        record["regression_vs_prev"] = _regression_flags(record, prev)
+        record["regression_vs_prev_round"] = prev_round
+    print(json.dumps(record), flush=True)
+
+
+def main():
+    global BATCH
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--stage', type=int, default=3, choices=(1, 2, 3))
+    parser.add_argument('--batch', type=int, default=BATCH,
+                        help="Per-chip batch size (default {})".format(BATCH))
+    parser.add_argument('--skip-extras', action='store_true',
+                        help="Measure only the training-throughput metric")
+    parser.add_argument('--section', choices=sorted(_SECTION_FNS),
+                        help="(internal) run ONE section in-process and print "
+                             "its keys as a JSON line")
+    parser.add_argument('--in-process', action='store_true',
+                        help="Run sections in-process (no subprocess watchdog); "
+                             "for debugging a single wedged section under a "
+                             "debugger")
+    args = parser.parse_args()
+    BATCH = args.batch
+
+    _apply_cache_config()
+
+    if args.section:
+        # Worker mode: one section, keys on the last stdout line.
+        print(json.dumps(_SECTION_FNS[args.section]()), flush=True)
+        return 0
+
+    import os
+    import subprocess
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    prev_bench = _latest_prior_bench(repo_dir)
+
     record = {
         "metric": "stage{}_train_images_per_sec_per_chip".format(args.stage),
-        "value": round(per_chip, 2),
+        "value": None,
         "unit": "images/sec/chip (256x512 in, 512x1024 out, bf16, batch {})".format(BATCH),
-        "vs_baseline": round(per_chip / REF_IMAGES_PER_SEC, 2),
+        "vs_baseline": None,
         "baseline_note": "vs an ESTIMATED 12 img/s for the reference impl (no published number); see mfu for the grounded efficiency figure",
     }
-    record.update(train)
 
+    headline = "stage{}_train".format(args.stage)
+    plan = [(name, tmo) for name, tmo in _SECTION_PLAN if name == headline]
     if not args.skip_extras and args.stage == 3:
-        try:
-            loader_rate, loader_breakdown = _train_throughput_with_loader(args.stage)
-            record["loader_images_per_sec_per_chip"] = round(loader_rate, 2)
-            record.update(loader_breakdown)
-            try:
-                # MEASURED cores-to-feed figure: device img/s/chip over the
-                # measured single-thread host img/s (cold = decode+warp;
-                # warm = raw-cache read + warp).
-                per_core = record["loader_scaling"]["threads"]["1"][
-                    "decode_plus_warp_img_per_s"]
-                record["loader_cores_to_cover_device_step_cold"] = round(
-                    per_chip / per_core, 1)
-                warm_ms = (record["loader_rawread_ms_per_image"]
-                           + record["loader_warp_ms_per_image"])
-                record["loader_cores_to_cover_device_step_warm"] = round(
-                    per_chip * warm_ms / 1000.0, 1)
-            except Exception as exc:
-                print("cores-to-cover derivation failed: {}".format(exc),
-                      file=sys.stderr)
-        except Exception as exc:
-            print("loader-included measurement failed: {}".format(exc), file=sys.stderr)
-        try:
-            e2e_ms, device_ms = _p50_test_latency()
-            record["p50_test_latency_ms"] = round(e2e_ms, 2)
-            record["device_test_latency_ms"] = round(device_ms, 2)
-            # BASELINE.json's "p50 test latency" tracks single-image `test`
-            # inference.  In THIS environment the end-to-end number is ~96%
-            # remote-tunnel RTT (measured: device 2.8 ms inside a 70-140 ms
-            # e2e); device_test_latency_ms is the hardware-meaningful figure
-            # a locally-attached chip would see end-to-end.
-            record["p50_note"] = (
-                "p50_test_latency_ms includes this environment's ~100 ms "
-                "TPU-tunnel round trip; device_test_latency_ms is the "
-                "device-side latency the BASELINE p50 target tracks on "
-                "locally attached hardware")
-        except Exception as exc:
-            print("p50 latency measurement failed: {}".format(exc), file=sys.stderr)
-        try:
-            record["stage1_eval_images_per_sec_per_chip"] = round(_stage1_eval_throughput(), 2)
-        except Exception as exc:
-            print("stage-1 eval measurement failed: {}".format(exc), file=sys.stderr)
-        # Full-cascade record: stage-1/2 train throughput + MFU alongside the
-        # primary stage-3 metric, so one bench run documents every stage the
-        # reference's 3-stage recipe trains.
-        for early_stage in (2, 1):
-            try:
-                extra = _train_throughput(early_stage)
-                record["stage{}_train_images_per_sec_per_chip".format(early_stage)] = (
-                    round(extra["images_per_sec_per_chip"], 2))
-                if "mfu" in extra:
-                    record["stage{}_mfu".format(early_stage)] = extra["mfu"]
-            except Exception as exc:
-                print("stage-{} train measurement failed: {}".format(early_stage, exc),
-                      file=sys.stderr)
+        plan += [(name, tmo) for name, tmo in _SECTION_PLAN if name != headline]
 
-    print(json.dumps(record))
+    for name, tmo in plan:
+        t0 = time.time()
+        print("=== bench section {} (timeout {}s) ===".format(name, tmo),
+              file=sys.stderr)
+        fragment, failure = None, None
+        if args.in_process:
+            try:
+                fragment = _SECTION_FNS[name]()
+            except Exception as exc:
+                failure = "error: {}".format(exc)
+        else:
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   '--section', name, '--batch', str(BATCH)]
+            try:
+                proc = subprocess.run(cmd, stdout=subprocess.PIPE,
+                                      timeout=tmo, text=True)
+                if proc.returncode == 0:
+                    fragment = _parse_last_json_line(proc.stdout)
+                    if fragment is None:
+                        failure = "no JSON fragment on stdout"
+                else:
+                    failure = "rc={}".format(proc.returncode)
+            except subprocess.TimeoutExpired:
+                failure = "timeout after {}s".format(tmo)
+            except Exception as exc:  # pragma: no cover - spawn failure
+                failure = "spawn error: {}".format(exc)
+        if fragment is not None:
+            if name == headline and args.stage != 3:
+                # Early-stage headline runs report stageN keys; lift them
+                # into the headline value slot.
+                v = fragment.pop(
+                    "stage{}_train_images_per_sec_per_chip".format(args.stage), None)
+                if v is not None:
+                    fragment["value"] = v
+                mfu = fragment.pop("stage{}_mfu".format(args.stage), None)
+                if mfu is not None:
+                    fragment["mfu"] = mfu
+            record.update(fragment)
+            if record.get("value") is not None:
+                record["vs_baseline"] = round(record["value"] / REF_IMAGES_PER_SEC, 2)
+        else:
+            record.setdefault("sections_failed", {})[name] = failure
+            print("bench section {} FAILED: {}".format(name, failure),
+                  file=sys.stderr)
+        _derive_cores_to_cover(record)
+        print("=== bench section {} done in {:.0f}s ===".format(
+            name, time.time() - t0), file=sys.stderr)
+        _emit(record, prev_bench)
+    return 0
 
 
 if __name__ == '__main__':
