@@ -458,6 +458,27 @@ def train_or_resume(is_resuming_training, device, distributed, mixed_precision,
                 print(INFO("Est. training completion in {:s}.".format(
                     makeSecondsPretty(avg_t * (epochs - epoch)))))
 
+        if os.environ.get('DSRL_TPU_DEBUG_PARAM_DIGEST'):
+            # Test hook (tests/test_cli_distributed.py): EVERY rank prints a
+            # content hash of its final params so a multi-process run can be
+            # checked for cross-rank divergence.  Uses the master-safe host
+            # read path (one replicated-buffer fetch + numpy unpack — never
+            # the jitted .params unpack, which single ranks must not
+            # dispatch).
+            import hashlib
+            if hasattr(state, 'device_get_state'):
+                host_params = state.device_get_state().params
+            else:
+                host_params = jax.device_get(state.params)
+            digest = hashlib.sha256()
+            for leaf in jax.tree_util.tree_leaves(host_params):
+                digest.update(np.ascontiguousarray(leaf).tobytes())
+            # (the epoch loop can be empty when resuming at the final epoch)
+            last_epoch_run = locals().get('epoch', starting_epoch)
+            print("PARAM_DIGEST rank={:d} epoch={:d} {:s}".format(
+                jax.process_index(), last_epoch_run, digest.hexdigest()),
+                flush=True)
+
         if master:
             model_state_dict, _ = get_state_dicts()
             save_weights(os.path.join(experiment_id, settings.WEIGHTS_DIR.format(stage=stage)),

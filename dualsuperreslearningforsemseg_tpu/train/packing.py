@@ -32,6 +32,8 @@ engine's checkpoint/eval/param-count paths read it exactly like the plain
 :class:`~.steps.TrainState`.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -139,6 +141,20 @@ class PackedTrainState:
 
     def _state(self):
         if self._unpacked is None:
+            if os.environ.get('DSRL_TPU_ASSERT_SPMD_UNPACK'):
+                # Tripwire for the multi-process hazard (CLAUDE.md): in a
+                # multi-process run NO code path should dispatch the jitted
+                # unpack — a single rank doing so launches device work the
+                # other ranks never join, and even an all-rank unpack is
+                # unnecessary (device_get_state covers every legitimate
+                # reader).  tests/test_cli_distributed.py runs the full
+                # train+resume CLI flow with this set.
+                if jax.process_count() > 1:
+                    raise RuntimeError(
+                        "PackedTrainState jitted unpack dispatched on rank "
+                        "{} of a {}-process run (DSRL_TPU_ASSERT_SPMD_UNPACK "
+                        "tripwire); use device_get_state() instead".format(
+                            jax.process_index(), jax.process_count()))
             self._unpacked = _jitted_unpack(self.packer)(self.packed,
                                                          self.bigs)
         return self._unpacked

@@ -53,6 +53,10 @@ def _run_two_processes(tmp_path, train_args, env_overrides=None, timeout=900):
     env['PYTHONPATH'] = os.pathsep.join([REPO] + extra)
     env.setdefault('DSRL_TPU_MODEL_INPUT_SIZE', '64x128')
     env.setdefault('DSRL_TPU_BACKBONE_LAYERS', '1,1,2,1')
+    # Tripwire (train/packing.py): in a multi-process run the jitted
+    # PackedTrainState unpack must never be dispatched — every distributed
+    # CLI test runs with the assert armed.
+    env.setdefault('DSRL_TPU_ASSERT_SPMD_UNPACK', '1')
     env.update(env_overrides or {})
 
     port = str(_free_port())
@@ -107,6 +111,77 @@ def test_two_process_distributed_train(tmp_path):
     for out in outs:
         assert "First dispatch of 'train-step-stage1' aligned across 2 processes" in out
         assert "First dispatch of 'eval-step-stage1' aligned across 2 processes" in out
+
+
+def _param_digests(out):
+    """Parse every ``PARAM_DIGEST rank=R epoch=E <hex>`` line to
+    ``[(rank, epoch, hex)]`` (the DSRL_TPU_DEBUG_PARAM_DIGEST hook)."""
+    import re
+    return [(int(r), int(e), h) for r, e, h in re.findall(
+        r"PARAM_DIGEST rank=(\d+) epoch=(\d+) ([0-9a-f]{64})", out)]
+
+
+@pytest.mark.slow
+def test_two_process_distributed_resume(tmp_path):
+    """Resume is orthogonal to distribution (reference main.py:149-152):
+    2-process train to an autosaved checkpoint, then 2-process
+    ``resume-train`` from it, asserting epoch continuity, identical
+    post-resume params across ranks (sha256 of the fetched host params),
+    and that the master-only packed-state read rule survives the whole
+    flow (the DSRL_TPU_ASSERT_SPMD_UNPACK tripwire is armed: any rank
+    dispatching the jitted unpack dies)."""
+    from dualsuperreslearningforsemseg_tpu.data import make_synthetic_cityscapes_tree
+    data_root = os.path.join(str(tmp_path), 'datasets', 'Cityscapes', 'data')
+    make_synthetic_cityscapes_tree(data_root, split='train', num_images=8, size_hw=(64, 128))
+    make_synthetic_cityscapes_tree(data_root, split='val', num_images=4, size_hw=(64, 128), seed=3)
+
+    digest_env = {'DSRL_TPU_DEBUG_PARAM_DIGEST': '1'}
+    procs, outs = _run_two_processes(tmp_path, [
+        'train', '--device', 'cpu', '--dataset', 'cityscapes', '--stage', '1',
+        '--epochs', '2', '--batch-size', '1', '--val-interval', '2',
+        '--checkpoint-interval', '1', '--checkpoint-history', '2',
+        '--num-workers', '1', '--yes',
+    ], env_overrides=digest_env)
+    for node_id, (proc, out) in enumerate(zip(procs, outs)):
+        assert proc.returncode == 0, \
+            "node {} failed in the initial train:\n{}".format(node_id, out[-4000:])
+
+    ckpt = os.path.join(str(tmp_path), 'weights', 'stage1', 'checkpoints',
+                        'epoch1.checkpoint')
+    assert os.path.isfile(ckpt), "expected the epoch-1 autosave to survive"
+    final_weights = os.path.join(str(tmp_path), 'weights', 'stage1', 'final.weights')
+    first_final_mtime = os.path.getmtime(final_weights)
+
+    # Both ranks ended the first run with bit-identical params.
+    d0, d1 = _param_digests(outs[0]), _param_digests(outs[1])
+    assert len(d0) == 1 and len(d1) == 1
+    assert d0[0][1:] == d1[0][1:], "train run diverged across ranks"
+
+    procs, outs = _run_two_processes(tmp_path, [
+        'resume-train', '--checkpoint', ckpt, '--dataset', 'cityscapes',
+    ], env_overrides=digest_env)
+    for node_id, (proc, out) in enumerate(zip(procs, outs)):
+        assert proc.returncode == 0, \
+            "node {} failed in resume-train:\n{}".format(node_id, out[-4000:])
+
+    # Epoch continuity: the resumed run starts at epoch 2 of 2 and never
+    # re-runs epoch 1.
+    assert '=> EPOCH 2/2' in outs[0]
+    assert '=> EPOCH 1/2' not in outs[0]
+
+    # Identical post-resume params across ranks, reported via the
+    # master-safe host read path on every rank.
+    d0, d1 = _param_digests(outs[0]), _param_digests(outs[1])
+    assert len(d0) == 1 and len(d1) == 1
+    assert d0[0][1] == 2 and d1[0][1] == 2  # digest taken after epoch 2
+    assert d0[0][2] == d1[0][2], "resume-train diverged across ranks"
+
+    # Master-only artifacts: params.txt records the resume, final.weights
+    # was re-exported by the resumed run.
+    params = open(os.path.join(str(tmp_path), 'logs', 'stage1', 'train',
+                               'params.txt')).read()
+    assert 'Resuming checkpoint' in params
+    assert os.path.getmtime(final_weights) > first_final_mtime
 
 
 @pytest.mark.slow
