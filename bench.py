@@ -546,7 +546,13 @@ def _stage1_eval_throughput():
     out = _retry(lambda: eval_step.from_state(pstate, img_lo, img_hi, seg, mask),
                  "eval warmup")
     jax.block_until_ready(out)
-    steps = 10
+    # 50-step window: at ~13 ms/step a 10-step window (~150 ms) is dominated
+    # by the remote tunnel's dispatch ramp after the blocking warmup and
+    # under-reads the steady-state rate by 15-20% (measured r5: 10-step
+    # windows 895-1013 img/s vs 50/100-step windows 1174-1204 on identical
+    # code); rounds <=4 used 10 steps, so their recorded 1055 is NOT
+    # comparable to this key from round 5 on.
+    steps = 50
     start = time.time()
     for _ in range(steps):
         out = eval_step.from_state(pstate, img_lo, img_hi, seg, mask)
