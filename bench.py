@@ -324,6 +324,26 @@ def _train_throughput_with_loader(stage, tree_images=96):
         probe_pair = None
         print("loader breakdown probe failed: {}".format(exc), file=sys.stderr)
 
+    # Epoch-0 priming overhead: ms/image to decode+store a FRESH raw cache
+    # via Loader.prime_raw_cache (the pass the training engine runs in the
+    # background through compile/warmup so warm-rate economics apply from
+    # epoch 1; commands/train_or_resume.py).
+    try:
+        import shutil
+        from dualsuperreslearningforsemseg_tpu.data import RawPairCache
+        shutil.rmtree('/tmp/dsrl_bench_primecache', ignore_errors=True)
+        pcache = RawPairCache('/tmp/dsrl_bench_primecache', source_hw)
+        ploader = Loader(dataset, batch_size=global_batch, shuffle=False,
+                         num_workers=settings.DEFAULT_NUM_WORKERS,
+                         raw_cache=pcache)
+        stats = ploader.prime_raw_cache(background=False)
+        if stats and stats['primed']:
+            breakdown["raw_cache_prime_ms_per_image"] = round(
+                stats['seconds'] * 1000.0 / stats['primed'], 2)
+        shutil.rmtree('/tmp/dsrl_bench_primecache', ignore_errors=True)
+    except Exception as exc:
+        print("raw-cache priming probe failed: {}".format(exc), file=sys.stderr)
+
     # One long epoch over a repeated file list: the 42-step measured window
     # then has no prefetch restarts, matching a real 2975-image epoch.
     class _RepeatedTree:

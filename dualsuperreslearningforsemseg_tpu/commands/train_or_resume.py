@@ -241,6 +241,17 @@ def train_or_resume(is_resuming_training, device, distributed, mixed_precision,
                         world_size=jax.process_count(), rank=jax.process_index(),
                         raw_cache='env')
 
+    # Raw-cache priming: when DSRL_TPU_RAW_CACHE is active, background
+    # threads decode each rank's epoch-0 shard into the cache through the
+    # minutes of host-idle compile/warmup time before step 1, so the warm
+    # (~2 ms raw read) rate applies from the FIRST epoch.  Disable with
+    # DSRL_TPU_PRIME_RAW_CACHE=0.  (data/pipeline.py::prime_raw_cache)
+    if os.environ.get('DSRL_TPU_PRIME_RAW_CACHE', '1') != '0':
+        for _ldr, _split in ((train_loader, 'train'), (val_loader, 'val')):
+            if _ldr.prime_raw_cache() is not None and master:
+                print(INFO("Priming raw pair cache for the '{:s}' split in the "
+                           "background.".format(_split)))
+
     train_logs_dir = os.path.join(experiment_id, settings.LOGS_DIR.format(stage=stage, mode='train'))
     val_logs_dir = os.path.join(experiment_id, settings.LOGS_DIR.format(stage=stage, mode='val'))
     os.makedirs(train_logs_dir, exist_ok=True)

@@ -214,6 +214,66 @@ class Loader:
     def set_epoch(self, epoch: int):
         self.epoch = epoch
 
+    def prime_raw_cache(self, background=True, batch=8):
+        """Decode every still-uncached pair of THIS rank's shard into the
+        raw cache, in epoch-0 sampling order (the order the first epoch will
+        read), so warm-epoch economics apply from the first epoch instead of
+        the second.
+
+        The win comes from WHEN it runs: started right after loader
+        construction, it decodes through the minutes of host-idle model
+        compile/warmup time that precede step 1 (the reference's workers
+        only ever decode on demand, train_or_resume.py:141-153).  Total
+        decode work is conserved — whatever the primer has not reached yet,
+        the epoch-1 loader decodes and stores itself; both sides re-check
+        the cache per pair and the atomic entry writes make duplicated work
+        benign.
+
+        Returns a started daemon ``Thread`` (``background=True``; ``None``
+        when no raw cache is configured) or a stats dict
+        ``{'primed', 'skipped', 'seconds'}``; the thread records the same
+        dict on ``self._prime_stats`` when it finishes.
+        """
+        if self.raw_cache is None or not hasattr(self.dataset, 'pairs'):
+            return None
+
+        def _run():
+            import time
+            t0 = time.perf_counter()
+            primed = 0
+            # Ordered dedup of this rank's epoch-0 shard (pad entries map
+            # back to their real index).
+            real = dict.fromkeys(
+                int(i) if i >= 0 else int(-(i + 1))
+                for i in self.sampler.indices_for_epoch(0))
+            miss = [i for i in real
+                    if self.raw_cache.load(*self.dataset.pairs[i]) is None]
+            for start in range(0, len(miss), batch):
+                chunk = miss[start:start + batch]
+                # The epoch-1 loader may have decoded these since the scan;
+                # re-check so primer and loader never both decode a pair
+                # that is already served.
+                chunk = [i for i in chunk
+                         if self.raw_cache.load(*self.dataset.pairs[i]) is None]
+                if not chunk:
+                    continue
+                imgs, segs = self._decode_indices(chunk)
+                for k, i in enumerate(chunk):
+                    self.raw_cache.store(*self.dataset.pairs[i],
+                                         imgs[k], segs[k])
+                primed += len(chunk)
+            stats = {'primed': primed, 'skipped': len(real) - len(miss),
+                     'seconds': round(time.perf_counter() - t0, 2)}
+            self._prime_stats = stats
+            return stats
+
+        if not background:
+            return _run()
+        th = threading.Thread(target=_run, daemon=True,
+                              name='raw-cache-primer')
+        th.start()
+        return th
+
     def __len__(self):
         n = self.sampler.shard_len()
         if self.drop_last:

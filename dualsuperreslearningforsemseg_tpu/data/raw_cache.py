@@ -46,7 +46,12 @@ class RawPairCache:
         ident = []
         for p in (img_path, seg_path):
             st = os.stat(p)
-            ident.append('{}:{}:{}'.format(p, st.st_size, st.st_mtime_ns))
+            # Keyed by the ABSOLUTE path: the training engine reaches the
+            # dataset through the registry's relative path while tools and
+            # benchmarks use absolute ones — the same file must hit the
+            # same entry regardless of the caller's cwd.
+            ident.append('{}:{}:{}'.format(os.path.abspath(p), st.st_size,
+                                           st.st_mtime_ns))
         key = '{}x{}|{}'.format(self.h, self.w, '|'.join(ident))
         return os.path.join(self.dir,
                             hashlib.md5(key.encode()).hexdigest() + '.raw')

@@ -302,3 +302,32 @@ def test_prune_weights_torch_format(workdir):
     sd = t.load('for_torch.weights', map_location='cpu', weights_only=True)
     assert 'feature_extractor.backbone.conv1.weight' in sd
     assert tuple(sd['feature_extractor.backbone.conv1.weight'].shape) == (64, 3, 7, 7)
+
+
+def test_train_primes_raw_cache(tmp_path, monkeypatch):
+    """With DSRL_TPU_RAW_CACHE set, training primes the raw-pair cache in
+    the background (commands/train_or_resume.py): the INFO lines appear and
+    every train/val pair ends up cached by run end."""
+    from dualsuperreslearningforsemseg_tpu.data import RawPairCache
+    from dualsuperreslearningforsemseg_tpu.data import CityscapesDataset
+
+    data_root = os.path.join(str(tmp_path), 'datasets', 'Cityscapes', 'data')
+    make_synthetic_cityscapes_tree(data_root, split='train', num_images=4, size_hw=(64, 128))
+    make_synthetic_cityscapes_tree(data_root, split='val', num_images=2, size_hw=(64, 128), seed=7)
+    cache_dir = os.path.join(str(tmp_path), 'rawcache')
+    monkeypatch.setenv('DSRL_TPU_RAW_CACHE', cache_dir)
+    monkeypatch.chdir(str(tmp_path))
+
+    run_cli('train', '--device', 'cpu', '--dataset', 'cityscapes', '--stage', '1',
+            '--epochs', '1', '--batch-size', '1', '--val-interval', '1',
+            '--checkpoint-interval', '1', '--num-workers', '1', '--yes')
+
+    stdout = open(os.path.join('logs', 'stage1', 'train', 'stdout.txt')).read()
+    assert "Priming raw pair cache for the 'train' split" in stdout
+    assert "Priming raw pair cache for the 'val' split" in stdout
+    cache = RawPairCache(cache_dir, (64, 128))
+    for split in ('train', 'val'):
+        ds = CityscapesDataset(data_root, split=split)
+        assert len(ds) > 0
+        for ip, sp in ds.pairs:
+            assert cache.load(ip, sp) is not None, (split, ip)

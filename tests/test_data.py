@@ -297,6 +297,52 @@ def test_loader_raw_cache_equivalence(tmp_path):
         assert cache.load(ip, sp) is not None
 
 
+def test_loader_prime_raw_cache(tmp_path):
+    """Priming decodes every uncached pair of the rank's shard up front
+    (synchronously here), a second prime is a no-op, and primed entries
+    serve batches identical to fresh decodes."""
+    from dualsuperreslearningforsemseg_tpu.data import RawPairCache
+
+    make_synthetic_cityscapes_tree(str(tmp_path), split='train', num_images=6,
+                                   size_hw=(16, 32))
+    ds = CityscapesDataset(str(tmp_path), split='train')
+    cache = RawPairCache(str(tmp_path / 'rawcache'), (16, 32))
+    loader = Loader(ds, batch_size=2, shuffle=True, seed=7, drop_last=True,
+                    num_workers=1, raw_cache=cache)
+    # No raw cache configured -> no-op.
+    plain = Loader(ds, batch_size=2, shuffle=True, seed=7, drop_last=True,
+                   num_workers=1)
+    assert plain.prime_raw_cache() is None
+
+    stats = loader.prime_raw_cache(background=False)
+    assert stats['primed'] == 6 and stats['skipped'] == 0
+    for ip, sp in ds.pairs:
+        assert cache.load(ip, sp) is not None
+    # Idempotent: everything already cached.
+    stats = loader.prime_raw_cache(background=False)
+    assert stats['primed'] == 0 and stats['skipped'] == 6
+
+    # Background form joins cleanly and records its stats.
+    th = loader.prime_raw_cache()
+    th.join(timeout=30)
+    assert not th.is_alive()
+    assert loader._prime_stats['primed'] == 0
+
+    # Primed entries produce batches identical to plain decodes.
+    for (pi, ps), (ci, cs_) in zip(iter(plain), iter(loader)):
+        np.testing.assert_array_equal(pi, ci)
+        np.testing.assert_array_equal(ps, cs_)
+
+    # A sharded loader primes only its own rank's shard.
+    c2 = RawPairCache(str(tmp_path / 'rawcache2'), (16, 32))
+    l2 = Loader(ds, batch_size=1, shuffle=False, seed=7, drop_last=True,
+                num_workers=1, world_size=2, rank=0, raw_cache=c2)
+    stats = l2.prime_raw_cache(background=False)
+    assert stats['primed'] == 3
+    cached_n = sum(c2.load(ip, sp) is not None for ip, sp in ds.pairs)
+    assert cached_n == 3
+
+
 def test_device_post_folded_photometrics(rng):
     """make_device_post_fn's folded chain (per-sample blur taps + one affine
     color transform) must match the literal composition: /255 -> 3-tap
