@@ -1,0 +1,667 @@
+#!/usr/bin/env python
+"""Long-horizon quality A/B: the reference's own torch modules vs this CLI.
+
+Trains two systems on the SAME synthetic Cityscapes tree through the full
+3-stage cascade and compares val-mIoU trajectories:
+
+(i)  the reference implementation's own ``DSRL`` / ``FALoss`` /
+     ``PolynomialLR`` / ``mIoU`` modules, imported READ-ONLY from
+     /root/reference and driven by a minimal torch loop transcribing the
+     semantics of ``command_handlers/train_or_resume.py:404-494`` (epoch loop,
+     SGD + per-epoch PolynomialLR step, CE + w1*MSE + w2*FA, argmax-pred
+     val metrics, stage hand-off via previous stage's final weights with
+     ``strict=False``);
+(ii) this repo's CLI (``main.py train``), exactly as a user runs it.
+
+Identity guarantees:
+* identical DATA: one synthetic tree, the reference side reads it through
+  its own transform stack, this repo through its own (augmentation draws
+  are independent streams — per-step numerics are covered separately by
+  tests/test_full_depth_parity.py; THIS harness compares trajectories).
+* identical PER-STAGE STARTING PARAMS: one host-side init (this repo's
+  deterministic seeded init) is exported once in both formats; the torch
+  side loads it (strict=False) before overlaying the previous stage's
+  final weights, and this repo's stage-N init re-derives the same values
+  from the same seed — so both sides enter every stage bit-identical.
+* identical HYPERPARAMETERS: the reference CLI defaults (lr 0.01 ->
+  0.001 poly 0.9, momentum 0.9, wd 5e-4, w1 0.1, w2 1.0, val every epoch).
+
+torchvision is NOT installed in this environment; ``_install_tv_stub``
+registers a minimal stand-in (Bottleneck/conv1x1, Compose, ToTensor,
+Normalize, GaussianBlur, RandomGrayscale, functional rotate/hflip,
+datasets.Cityscapes) transcribed from the torchvision-0.8 semantics the
+reference was written against, before any reference import.  Depth: the
+reference hardcodes ResNet101 [3,4,23,3]; ``--layers`` wraps (not edits)
+``ResNet101._make_layer`` so both sides run the same reduced depth that
+makes a CPU A/B tractable.
+
+Usage:
+  python tools/ab_reference.py all --workdir /tmp/dsrl_ab --epochs 20
+  python tools/ab_reference.py report --workdir /tmp/dsrl_ab   # re-render
+Workers (spawned by `all`, runnable alone): maketree / ref / tpu.
+"""
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = '/root/reference'
+RANDOM_SEED = 54321
+
+
+def _env(args):
+    env = dict(os.environ)
+    extra = [p for p in env.get('PYTHONPATH', '').split(os.pathsep) if p]
+    env['PYTHONPATH'] = os.pathsep.join([REPO] + extra)
+    env['DSRL_TPU_MODEL_INPUT_SIZE'] = '{}x{}'.format(*args.input_hw)
+    env['DSRL_TPU_BACKBONE_LAYERS'] = ','.join(str(x) for x in args.layers)
+    return env
+
+
+# ---------------------------------------------------------------------------
+# torchvision stub (reference side only)
+# ---------------------------------------------------------------------------
+
+def _install_tv_stub():
+    """Register a minimal ``torchvision`` in sys.modules for the reference's
+    imports.  Every entry transcribes the public torchvision behavior the
+    reference calls (listed in the module docstring); nothing else."""
+    import types
+
+    import numpy as np
+    import torch as t
+    from PIL import Image
+
+    tv = types.ModuleType('torchvision')
+
+    # --- torchvision.models.resnet: Bottleneck / BasicBlock / conv1x1 ----
+    def conv1x1(in_planes, out_planes, stride=1):
+        return t.nn.Conv2d(in_planes, out_planes, kernel_size=1,
+                           stride=stride, bias=False)
+
+    class Bottleneck(t.nn.Module):
+        # torchvision's canonical bottleneck: 1x1 reduce -> 3x3 (stride/
+        # dilation) -> 1x1 expand(4x), residual add then ReLU.  Same
+        # parameter names so state dicts interchange with real torchvision.
+        expansion = 4
+
+        def __init__(self, inplanes, planes, stride=1, downsample=None,
+                     groups=1, base_width=64, dilation=1, norm_layer=None):
+            super().__init__()
+            if norm_layer is None:
+                norm_layer = t.nn.BatchNorm2d
+            width = int(planes * (base_width / 64.0)) * groups
+            self.conv1 = conv1x1(inplanes, width)
+            self.bn1 = norm_layer(width)
+            self.conv2 = t.nn.Conv2d(width, width, kernel_size=3,
+                                     stride=stride, padding=dilation,
+                                     dilation=dilation, groups=groups,
+                                     bias=False)
+            self.bn2 = norm_layer(width)
+            self.conv3 = conv1x1(width, planes * self.expansion)
+            self.bn3 = norm_layer(planes * self.expansion)
+            self.relu = t.nn.ReLU(inplace=True)
+            self.downsample = downsample
+            self.stride = stride
+
+        def forward(self, x):
+            identity = x
+            out = self.relu(self.bn1(self.conv1(x)))
+            out = self.relu(self.bn2(self.conv2(out)))
+            out = self.bn3(self.conv3(out))
+            if self.downsample is not None:
+                identity = self.downsample(x)
+            return self.relu(out + identity)
+
+    class BasicBlock(t.nn.Module):
+        # Only referenced by isinstance() checks in the reference's init
+        # path; ResNet101 never instantiates it.
+        expansion = 1
+
+    resnet_mod = types.ModuleType('torchvision.models.resnet')
+    resnet_mod.Bottleneck = Bottleneck
+    resnet_mod.BasicBlock = BasicBlock
+    resnet_mod.conv1x1 = conv1x1
+    models_mod = types.ModuleType('torchvision.models')
+    models_mod.resnet = resnet_mod
+
+    # --- torchvision.transforms ------------------------------------------
+    class Compose:
+        def __init__(self, transforms):
+            self.transforms = transforms
+
+        def __call__(self, img):
+            for tr in self.transforms:
+                img = tr(img)
+            return img
+
+    class ToTensor:
+        def __call__(self, pic):
+            if isinstance(pic, Image.Image):
+                pic = np.array(pic)
+            arr = np.asarray(pic)
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            ten = t.from_numpy(np.ascontiguousarray(arr.transpose(2, 0, 1)))
+            if ten.dtype == t.uint8:
+                ten = ten.float().div(255.0)
+            return ten
+
+    class Normalize:
+        def __init__(self, mean, std, inplace=False):
+            self.mean, self.std = mean, std
+
+        def __call__(self, ten):
+            mean = t.as_tensor(self.mean, dtype=ten.dtype).view(-1, 1, 1)
+            std = t.as_tensor(self.std, dtype=ten.dtype).view(-1, 1, 1)
+            return (ten - mean) / std
+
+    class GaussianBlur:
+        # torchvision draws sigma ~ U(0.1, 2.0) per call by default.
+        def __init__(self, kernel_size, sigma=(0.1, 2.0)):
+            self.kernel_size = kernel_size if isinstance(kernel_size, int) \
+                else kernel_size[0]
+            self.sigma = sigma
+
+        def __call__(self, ten):
+            sigma = t.empty(1).uniform_(self.sigma[0], self.sigma[1]).item()
+            k = self.kernel_size
+            half = (k - 1) // 2
+            xs = t.arange(k, dtype=ten.dtype) - half
+            kernel1d = t.exp(-(xs ** 2) / (2.0 * sigma ** 2))
+            kernel1d = kernel1d / kernel1d.sum()
+            c = ten.shape[0]
+            inp = ten.unsqueeze(0)
+            inp = t.nn.functional.pad(inp, (half, half, half, half),
+                                      mode='reflect')
+            kh = kernel1d.view(1, 1, k, 1).expand(c, 1, k, 1)
+            kw = kernel1d.view(1, 1, 1, k).expand(c, 1, 1, k)
+            out = t.nn.functional.conv2d(inp, kh, groups=c)
+            out = t.nn.functional.conv2d(out, kw, groups=c)
+            return out.squeeze(0)
+
+    class RandomGrayscale:
+        def __init__(self, p=0.1):
+            self.p = p
+
+        def __call__(self, ten):
+            if t.rand(1).item() < self.p:
+                luma = (0.2989 * ten[0] + 0.587 * ten[1] + 0.114 * ten[2])
+                return luma.unsqueeze(0).expand_as(ten).contiguous()
+            return ten
+
+    class ColorJitter:
+        # Present so the reference transforms package imports; the recipe
+        # keeps JointColorJitter commented out (train_or_resume.py:131).
+        def __init__(self, *a, **k):
+            raise RuntimeError("ColorJitter stub is not part of the A/B "
+                               "recipe (reference keeps it disabled)")
+
+    def rotate(img, angle, resample=None, expand=False, center=None,
+               fill=None, interpolation=None):
+        if not isinstance(img, Image.Image):
+            raise TypeError("stub rotate supports the reference's PIL path "
+                            "only (transforms run before ToTensor)")
+        if isinstance(fill, (list, tuple)):
+            fill = tuple(fill)
+        res = resample if resample is not None else Image.NEAREST
+        return img.rotate(angle, resample=res, expand=expand, center=center,
+                          fillcolor=fill)
+
+    def hflip(img):
+        if isinstance(img, Image.Image):
+            return img.transpose(Image.FLIP_LEFT_RIGHT)
+        return t.flip(img, dims=[-1])
+
+    def resized_crop(img, top, left, height, width, size,
+                     interpolation=None):
+        raise RuntimeError("stub resized_crop unreachable: the reference "
+                           "crops before ToTensor, on the PIL path")
+
+    functional_mod = types.ModuleType('torchvision.transforms.functional')
+    functional_mod.rotate = rotate
+    functional_mod.hflip = hflip
+    functional_mod.resized_crop = resized_crop
+
+    transforms_inner = types.ModuleType('torchvision.transforms.transforms')
+    transforms_inner.Compose = Compose
+
+    transforms_mod = types.ModuleType('torchvision.transforms')
+    for name, obj in (('Compose', Compose), ('ToTensor', ToTensor),
+                      ('Normalize', Normalize), ('GaussianBlur', GaussianBlur),
+                      ('RandomGrayscale', RandomGrayscale),
+                      ('ColorJitter', ColorJitter)):
+        setattr(transforms_mod, name, obj)
+    transforms_mod.transforms = transforms_inner
+    transforms_mod.functional = functional_mod
+
+    # --- torchvision.datasets.Cityscapes ---------------------------------
+    class Cityscapes(t.utils.data.Dataset):
+        def __init__(self, root, split='train', mode='fine',
+                     target_type='semantic', transforms=None):
+            assert mode == 'fine' and target_type == 'semantic'
+            self.transforms = transforms
+            images_dir = os.path.join(root, 'leftImg8bit', split)
+            targets_dir = os.path.join(root, 'gtFine', split)
+            self.items = []
+            for city in sorted(os.listdir(images_dir)):
+                for fn in sorted(os.listdir(os.path.join(images_dir, city))):
+                    if fn.endswith('_leftImg8bit.png'):
+                        tfn = fn.replace('_leftImg8bit.png',
+                                         '_gtFine_labelIds.png')
+                        self.items.append(
+                            (os.path.join(images_dir, city, fn),
+                             os.path.join(targets_dir, city, tfn)))
+
+        def __len__(self):
+            return len(self.items)
+
+        def __getitem__(self, index):
+            img_path, seg_path = self.items[index]
+            img = Image.open(img_path).convert('RGB')
+            seg = Image.open(seg_path)
+            if self.transforms is not None:
+                img, seg = self.transforms(img, seg)
+            return img, seg
+
+    datasets_mod = types.ModuleType('torchvision.datasets')
+    datasets_mod.Cityscapes = Cityscapes
+
+    tv.models = models_mod
+    tv.transforms = transforms_mod
+    tv.datasets = datasets_mod
+    sys.modules['torchvision'] = tv
+    sys.modules['torchvision.models'] = models_mod
+    sys.modules['torchvision.models.resnet'] = resnet_mod
+    sys.modules['torchvision.transforms'] = transforms_mod
+    sys.modules['torchvision.transforms.transforms'] = transforms_inner
+    sys.modules['torchvision.transforms.functional'] = functional_mod
+    sys.modules['torchvision.datasets'] = datasets_mod
+
+    # apex: imported by the reference's settings for a BN isinstance tuple.
+    apex = types.ModuleType('apex')
+    apex_parallel = types.ModuleType('apex.parallel')
+    apex_parallel.SyncBatchNorm = t.nn.BatchNorm2d
+    apex.parallel = apex_parallel
+    sys.modules.setdefault('apex', apex)
+    sys.modules.setdefault('apex.parallel', apex_parallel)
+
+
+# ---------------------------------------------------------------------------
+# Worker: maketree — shared data + identical-init export (this repo's side)
+# ---------------------------------------------------------------------------
+
+def run_maketree(args):
+    import jax
+    jax.config.update('jax_platforms', 'cpu')
+    from dualsuperreslearningforsemseg_tpu.utils.fsutil import compile_cache_dir
+    jax.config.update('jax_compilation_cache_dir', compile_cache_dir('cpu'))
+
+    from dualsuperreslearningforsemseg_tpu import settings
+    from dualsuperreslearningforsemseg_tpu.data import make_synthetic_cityscapes_tree
+    from dualsuperreslearningforsemseg_tpu.datasets import cityscapes as cs
+    from dualsuperreslearningforsemseg_tpu.models import DSRL, init_model_host, state_dict
+    from dualsuperreslearningforsemseg_tpu.checkpoint import save_weights, save_torch_pth
+
+    assert tuple(settings.MODEL_INPUT_SIZE) == tuple(args.input_hw)
+    data_root = os.path.join(args.workdir, 'datasets', 'Cityscapes', 'data')
+    # Source frames at model-output size: both pipelines resize from here.
+    size_hw = tuple(2 * x for x in args.input_hw)
+    make_synthetic_cityscapes_tree(data_root, split='train',
+                                   num_images=args.train_images,
+                                   size_hw=size_hw)
+    make_synthetic_cityscapes_tree(data_root, split='val',
+                                   num_images=args.val_images,
+                                   size_hw=size_hw, seed=7)
+
+    # One seeded stage-3 init, exported in both formats.  This repo's CLI
+    # re-derives the identical values per stage from the same seed
+    # (models/host_init.py is deterministic in seed + param tree), so
+    # loading this file on the torch side aligns BOTH sides' stage entry.
+    model = DSRL(stage=3, num_classes=cs.NUM_CLASSES)
+    variables = init_model_host(model, settings.MODEL_INPUT_SIZE,
+                                seed=settings.RANDOM_SEED)
+    sd = state_dict(variables)
+    save_weights(args.workdir, 'init.weights', sd, None)
+    save_torch_pth(sd, os.path.join(args.workdir, 'init_sd.pth'))
+    print("maketree: {} train + {} val frames at {}x{}, init exported".format(
+        args.train_images, args.val_images, *size_hw))
+
+
+# ---------------------------------------------------------------------------
+# Worker: ref — the reference's own modules, minimal transcribed loop
+# ---------------------------------------------------------------------------
+
+def run_ref(args):
+    _install_tv_stub()
+    sys.path.insert(0, REF)
+    import numpy as np
+    import torch as t
+
+    import settings as ref_settings
+    ref_settings.MODEL_INPUT_SIZE = tuple(args.input_hw)
+    ref_settings.MODEL_OUTPUT_SIZE = tuple(2 * x for x in args.input_hw)
+
+    from models import DSRL                                  # noqa: reference
+    from models.losses import FALoss                         # noqa: reference
+    from models.schedulers import PolynomialLR               # noqa: reference
+    from models.modules.backbone import ResNet101            # noqa: reference
+    from models.transforms import (                          # noqa: reference
+        JointCompose, JointRandomRotate, JointRandomCrop,
+        JointImageAndLabelTensor, JointHFlip, JointRandomGaussianBlur,
+        JointRandomGrayscale, JointNormalize, JointScaledImage)
+    from metrices import mIoU, Accuracy                      # noqa: reference
+    from datasets import Cityscapes as RefCityscapes         # noqa: reference
+    ds_settings = RefCityscapes.settings
+
+    # Reduced depth WITHOUT editing the reference: remap the hardcoded
+    # [3,4,23,3] block counts by _make_layer call order.
+    depths = tuple(args.layers)
+    orig_make_layer = ResNet101._make_layer
+
+    def _mid_make_layer(self, block, planes, blocks, stride=1, dilate=False):
+        idx = self.__dict__.get('_ab_layer_idx', 0)
+        self.__dict__['_ab_layer_idx'] = idx + 1
+        return orig_make_layer(self, block, planes, depths[idx % 4],
+                               stride=stride, dilate=dilate)
+
+    ResNet101._make_layer = _mid_make_layer
+
+    import torchvision as tv
+    data_root = os.path.join(args.workdir, 'datasets', 'Cityscapes', 'data')
+    train_tf = JointCompose([
+        JointRandomRotate(degrees=15.0,
+                          fill=(0, ds_settings.IGNORE_CLASS_LABEL)),
+        JointRandomCrop(min_scale=1.0, max_scale=3.5),
+        JointImageAndLabelTensor(ds_settings.LABEL_MAPPING_DICT),
+        JointHFlip(),
+        JointRandomGaussianBlur(kernel_size=3, p=0.5),
+        JointRandomGrayscale(p=0.1),
+        JointNormalize(mean=ds_settings.MEAN, std=ds_settings.STD),
+        JointScaledImage(new_img_sizes=(ref_settings.MODEL_INPUT_SIZE,
+                                        ref_settings.MODEL_OUTPUT_SIZE),
+                         new_seg_size=ref_settings.MODEL_OUTPUT_SIZE)])
+    val_tf = JointCompose([
+        JointImageAndLabelTensor(ds_settings.LABEL_MAPPING_DICT),
+        JointNormalize(mean=ds_settings.MEAN, std=ds_settings.STD),
+        JointScaledImage(new_img_sizes=(ref_settings.MODEL_INPUT_SIZE,
+                                        ref_settings.MODEL_OUTPUT_SIZE),
+                         new_seg_size=ref_settings.MODEL_OUTPUT_SIZE)])
+    train_ds = tv.datasets.Cityscapes(data_root, split='train',
+                                      transforms=train_tf)
+    val_ds = tv.datasets.Cityscapes(data_root, split='val', transforms=val_tf)
+    train_loader = t.utils.data.DataLoader(train_ds, batch_size=args.batch,
+                                           shuffle=True, num_workers=0,
+                                           drop_last=True)
+    val_loader = t.utils.data.DataLoader(val_ds, batch_size=args.batch,
+                                         shuffle=False, num_workers=0,
+                                         drop_last=False)
+
+    class _CompatPolynomialLR(PolynomialLR):
+        """The reference's __init__ passes ``verbose`` positionally, which
+        torch>=2.4 removed; redo only the attribute setup and call the base
+        scheduler without it.  get_lr()/step() math stays the reference's."""
+
+        def __init__(self, optimizer, max_decay_steps, end_learning_rate,
+                     power, last_epoch=-1):
+            self.max_decay_steps = max_decay_steps
+            self.end_learning_rate = end_learning_rate
+            self.power = power
+            t.optim.lr_scheduler._LRScheduler.__init__(self, optimizer,
+                                                       last_epoch)
+
+    init_sd = t.load(os.path.join(args.workdir, 'init_sd.pth'),
+                     map_location='cpu', weights_only=True)
+    w1, w2 = 0.1, 1.0
+    ce_fn = t.nn.CrossEntropyLoss(
+        ignore_index=ds_settings.IGNORE_CLASS_LABEL)
+    mse_fn = t.nn.MSELoss()
+    fa_fn = FALoss()
+
+    results = {}
+    prev_sd = None
+    for stage in args.stages:
+        t.manual_seed(RANDOM_SEED + stage)
+        model = DSRL(stage, ds_settings)
+        # Identical-entry contract: seeded init first (aligns the fresh
+        # modules with this repo's deterministic init), previous stage's
+        # final weights over it (the reference's cascade hand-off,
+        # train_or_resume.py:91-97) — both strict=False like the reference.
+        report = model.load_state_dict(init_sd, strict=False)
+        unexpected = [k for k in report.unexpected_keys]
+        missing = [k for k in report.missing_keys
+                   if not k.endswith('num_batches_tracked')]
+        assert not missing, "init export missed params: {}".format(missing[:8])
+        assert not unexpected or stage < 3, \
+            "stage-3 model rejected init keys: {}".format(unexpected[:8])
+        if prev_sd is not None:
+            model.load_state_dict(prev_sd, strict=False)
+        optimizer = t.optim.SGD(model.parameters(), lr=args.lr,
+                                momentum=0.9, weight_decay=0.0005)
+        scheduler = _CompatPolynomialLR(optimizer, max_decay_steps=args.epochs,
+                                        end_learning_rate=args.end_lr,
+                                        power=0.9, last_epoch=-1)
+
+        stage_rows = []
+        for epoch in range(1, args.epochs + 1):
+            t0 = time.time()
+            model.train()
+            ce_sum = n_seen = 0
+            for (img_lo, img_hi), (seg_hi, _seg) in train_loader:
+                optimizer.zero_grad()
+                sssr, sisr, ft_s, ft_i = model(img_lo)
+                ce = ce_fn(sssr, seg_hi.long())
+                mse = (w1 * mse_fn(sisr, img_hi)) if stage > 1 else \
+                    t.tensor(0.0)
+                fa = (w2 * fa_fn(ft_s, ft_i)) if stage > 2 else t.tensor(0.0)
+                total = ce + mse + fa
+                total.backward()
+                optimizer.step()
+                ce_sum += float(ce.detach()) * img_lo.shape[0]
+                n_seen += img_lo.shape[0]
+
+            model.eval()
+            miou = mIoU(num_classes=ds_settings.NUM_CLASSES)
+            acc = Accuracy()
+            val_ce_sum = val_n = 0
+            with t.no_grad():
+                for (img_lo, img_hi), (seg_hi, _seg) in val_loader:
+                    sssr = model(img_lo)[0]
+                    val_ce_sum += float(ce_fn(sssr, seg_hi.long())) \
+                        * img_lo.shape[0]
+                    val_n += img_lo.shape[0]
+                    pred = t.argmax(sssr, dim=1).numpy()
+                    target = seg_hi.numpy()
+                    mask = (target != ds_settings.IGNORE_CLASS_LABEL)
+                    acc.update(pred, target, mask)
+                    miou.update(pred, target, mask)
+            row = {"epoch": epoch, "train_ce": round(ce_sum / n_seen, 4),
+                   "val_ce": round(val_ce_sum / val_n, 4),
+                   "val_miou": round(float(miou()), 2),
+                   "val_acc": round(float(acc()), 2),
+                   "lr": round(scheduler.get_last_lr()[0], 6)}
+            stage_rows.append(row)
+            print("ref stage {} epoch {}/{}: mIoU {:.2f} acc {:.2f} "
+                  "ce {:.4f} ({:.1f}s)".format(
+                      stage, epoch, args.epochs, row["val_miou"],
+                      row["val_acc"], row["val_ce"], time.time() - t0),
+                  flush=True)
+            scheduler.step()
+
+        prev_sd = model.state_dict()
+        t.save({'model_state_dict': prev_sd},
+               os.path.join(args.workdir, 'ref_stage{}.pth'.format(stage)))
+        results[str(stage)] = stage_rows
+
+    with open(os.path.join(args.workdir, 'ref_results.json'), 'w') as f:
+        json.dump(results, f, indent=1)
+
+
+# ---------------------------------------------------------------------------
+# Worker: tpu — this repo's CLI, one subprocess per stage
+# ---------------------------------------------------------------------------
+
+_CLI_CHILD = r"""
+import sys
+import jax
+jax.config.update('jax_platforms', 'cpu')
+try:
+    from dualsuperreslearningforsemseg_tpu.utils.fsutil import compile_cache_dir
+    jax.config.update('jax_compilation_cache_dir', compile_cache_dir('cpu'))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+except Exception:
+    pass
+import main as cli
+cli.parse_cmdline_and_invoke_main(sys.argv[1:])
+"""
+
+_VAL_ROW = re.compile(
+    r"Avg\. CE: ([0-9.]+), Accuracy %: ([0-9.]+), mIoU %: ([0-9.]+)")
+_TRAIN_ROW = re.compile(r"^Avg\. CE: ([0-9.]+)\s*$", re.M)
+
+
+def run_tpu(args):
+    env = _env(args)
+    results = {}
+    for stage in args.stages:
+        cmd = [sys.executable, '-c', _CLI_CHILD, 'train',
+               '--device', 'cpu', '--dataset', 'cityscapes',
+               '--stage', str(stage), '--epochs', str(args.epochs),
+               '--batch-size', str(args.batch), '--val-interval', '1',
+               '--checkpoint-interval', str(args.epochs),
+               '--checkpoint-history', '1', '--num-workers', '1',
+               '--learning-rate', str(args.lr),
+               '--end-learning-rate', str(args.end_lr), '--yes']
+        if stage == min(args.stages):
+            cmd += ['--init-weights', os.path.join(args.workdir,
+                                                   'init.weights')]
+        t0 = time.time()
+        proc = subprocess.run(cmd, cwd=args.workdir, env=env,
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True)
+        if proc.returncode != 0:
+            raise RuntimeError("tpu-side stage {} failed:\n{}".format(
+                stage, proc.stdout[-4000:]))
+        log = open(os.path.join(args.workdir, 'logs',
+                                'stage{}'.format(stage), 'train',
+                                'stdout.txt')).read()
+        val_rows = _VAL_ROW.findall(log)
+        train_ces = _TRAIN_ROW.findall(log)
+        assert len(val_rows) == args.epochs, \
+            "expected {} val rows, parsed {}".format(args.epochs,
+                                                     len(val_rows))
+        stage_rows = []
+        for epoch, (ce, acc, miou) in enumerate(val_rows, start=1):
+            row = {"epoch": epoch, "val_ce": float(ce),
+                   "val_acc": float(acc), "val_miou": float(miou)}
+            if epoch <= len(train_ces):
+                row["train_ce"] = float(train_ces[epoch - 1])
+            stage_rows.append(row)
+            print("tpu stage {} epoch {}: mIoU {} acc {} ce {}".format(
+                stage, epoch, miou, acc, ce), flush=True)
+        print("tpu stage {} done in {:.0f}s".format(stage, time.time() - t0),
+              flush=True)
+        results[str(stage)] = stage_rows
+    with open(os.path.join(args.workdir, 'tpu_results.json'), 'w') as f:
+        json.dump(results, f, indent=1)
+
+
+# ---------------------------------------------------------------------------
+# Report
+# ---------------------------------------------------------------------------
+
+def run_report(args):
+    with open(os.path.join(args.workdir, 'ref_results.json')) as f:
+        ref = json.load(f)
+    with open(os.path.join(args.workdir, 'tpu_results.json')) as f:
+        tpu = json.load(f)
+
+    lines = ["# A/B: reference torch modules vs this repo's CLI", "",
+             "Setup: synthetic Cityscapes, input {}x{}, backbone depth {}, "
+             "batch {}, {} epochs/stage, lr {}->{} poly 0.9, identical "
+             "per-stage starting params (see tools/ab_reference.py).".format(
+                 args.input_hw[0], args.input_hw[1], list(args.layers),
+                 args.batch, args.epochs, args.lr, args.end_lr), ""]
+    summary = {}
+    for stage in sorted(set(ref) & set(tpu), key=int):
+        r_rows, t_rows = ref[stage], tpu[stage]
+        lines += ["## Stage {}".format(stage), "",
+                  "| epoch | ref val mIoU % | tpu val mIoU % | ref val CE | tpu val CE |",
+                  "|---|---|---|---|---|"]
+        for rr, tr in zip(r_rows, t_rows):
+            lines.append("| {} | {:.2f} | {:.2f} | {:.4f} | {:.4f} |".format(
+                rr["epoch"], rr["val_miou"], tr["val_miou"],
+                rr["val_ce"], tr["val_ce"]))
+        tail = min(5, len(r_rows))
+        ref_tail = sum(r["val_miou"] for r in r_rows[-tail:]) / tail
+        tpu_tail = sum(r["val_miou"] for r in t_rows[-tail:]) / tail
+        summary[stage] = {
+            "ref_final_miou": r_rows[-1]["val_miou"],
+            "tpu_final_miou": t_rows[-1]["val_miou"],
+            "ref_tail_mean_miou": round(ref_tail, 2),
+            "tpu_tail_mean_miou": round(tpu_tail, 2),
+            "tail_gap_pts": round(tpu_tail - ref_tail, 2),
+        }
+        lines += ["",
+                  "last-{} mean val mIoU: ref {:.2f} vs tpu {:.2f} "
+                  "(gap {:+.2f} pts)".format(
+                      tail, ref_tail, tpu_tail, tpu_tail - ref_tail), ""]
+    lines += ["## Summary", "", "```json",
+              json.dumps(summary, indent=1), "```", ""]
+    out = os.path.join(args.workdir, 'AB_REFERENCE.md')
+    with open(out, 'w') as f:
+        f.write("\n".join(lines))
+    print(json.dumps(summary))
+    print("report written to", out)
+
+
+def run_all(args):
+    os.makedirs(args.workdir, exist_ok=True)
+    env = _env(args)
+    base = [sys.executable, os.path.abspath(__file__)]
+    passthrough = ['--workdir', args.workdir,
+                   '--epochs', str(args.epochs),
+                   '--batch', str(args.batch),
+                   '--train-images', str(args.train_images),
+                   '--val-images', str(args.val_images),
+                   '--input-hw', '{}x{}'.format(*args.input_hw),
+                   '--layers', ','.join(str(x) for x in args.layers),
+                   '--lr', str(args.lr), '--end-lr', str(args.end_lr),
+                   '--stages', ','.join(str(s) for s in args.stages)]
+    for worker in ('maketree', 'ref', 'tpu', 'report'):
+        print("=== ab_reference worker: {} ===".format(worker), flush=True)
+        rc = subprocess.call(base + [worker] + passthrough, env=env,
+                             cwd=REPO)
+        if rc != 0:
+            raise SystemExit("worker {} failed (rc={})".format(worker, rc))
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument('worker', choices=('all', 'maketree', 'ref', 'tpu',
+                                           'report'))
+    parser.add_argument('--workdir', default='/tmp/dsrl_ab')
+    parser.add_argument('--epochs', type=int, default=20)
+    parser.add_argument('--batch', type=int, default=4)
+    parser.add_argument('--train-images', type=int, default=24)
+    parser.add_argument('--val-images', type=int, default=8)
+    parser.add_argument('--input-hw', default='64x128',
+                        type=lambda s: tuple(int(x) for x in s.split('x')))
+    parser.add_argument('--layers', default='1,1,2,1',
+                        type=lambda s: tuple(int(x) for x in s.split(',')))
+    parser.add_argument('--lr', type=float, default=0.01)
+    parser.add_argument('--end-lr', type=float, default=0.001)
+    parser.add_argument('--stages', default='1,2,3',
+                        type=lambda s: tuple(int(x) for x in s.split(',')))
+    args = parser.parse_args()
+    {'all': run_all, 'maketree': run_maketree, 'ref': run_ref,
+     'tpu': run_tpu, 'report': run_report}[args.worker](args)
+
+
+if __name__ == '__main__':
+    main()
