@@ -402,6 +402,11 @@ def run_ref(args):
                                          shuffle=False, num_workers=0,
                                          drop_last=False)
 
+    # torch>=2 removed t.Assert (the reference's FALoss.forward sanity
+    # checks use it); alias the supported equivalent.
+    if not hasattr(t, 'Assert'):
+        t.Assert = t._assert
+
     class _CompatPolynomialLR(PolynomialLR):
         """The reference's __init__ passes ``verbose`` positionally, which
         torch>=2.4 removed; redo only the attribute setup and call the base
@@ -497,9 +502,10 @@ def run_ref(args):
         t.save({'model_state_dict': prev_sd},
                os.path.join(args.workdir, 'ref_stage{}.pth'.format(stage)))
         results[str(stage)] = stage_rows
-
-    with open(os.path.join(args.workdir, 'ref_results.json'), 'w') as f:
-        json.dump(results, f, indent=1)
+        # Written after EVERY stage: a failure mid-cascade keeps the
+        # completed stages' trajectories.
+        with open(os.path.join(args.workdir, 'ref_results.json'), 'w') as f:
+            json.dump(results, f, indent=1)
 
 
 # ---------------------------------------------------------------------------
