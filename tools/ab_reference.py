@@ -526,41 +526,86 @@ import main as cli
 cli.parse_cmdline_and_invoke_main(sys.argv[1:])
 """
 
+# Validation summary lines carry Accuracy/mIoU; stage>1 lines insert
+# "Avg. MSE: ... Total Avg. Loss: ..." between CE and Accuracy.  Train
+# summary lines are the same prefix WITHOUT the Accuracy fields.
 _VAL_ROW = re.compile(
-    r"Avg\. CE: ([0-9.]+), Accuracy %: ([0-9.]+), mIoU %: ([0-9.]+)")
-_TRAIN_ROW = re.compile(r"^Avg\. CE: ([0-9.]+)\s*$", re.M)
+    r"Avg\. CE: ([0-9.]+).*Accuracy %: ([0-9.]+), mIoU %: ([0-9.]+)")
+_CE_PREFIX = re.compile(r"Avg\. CE: ([0-9.]+)")
+
+
+def _parse_stage_log(path):
+    """-> (val_rows [(ce, acc, miou)], train_ces [ce]) from a stage's
+    stdout.txt."""
+    val_rows, train_ces = [], []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line.startswith('Avg. CE:'):
+                continue
+            m = _VAL_ROW.search(line)
+            if m:
+                val_rows.append(m.groups())
+            else:
+                m = _CE_PREFIX.search(line)
+                if m:
+                    train_ces.append(m.group(1))
+    return val_rows, train_ces
 
 
 def run_tpu(args):
     env = _env(args)
+    results_path = os.path.join(args.workdir, 'tpu_results.json')
     results = {}
+    if os.path.isfile(results_path):
+        with open(results_path) as f:
+            results = json.load(f)
     for stage in args.stages:
-        cmd = [sys.executable, '-c', _CLI_CHILD, 'train',
-               '--device', 'cpu', '--dataset', 'cityscapes',
-               '--stage', str(stage), '--epochs', str(args.epochs),
-               '--batch-size', str(args.batch), '--val-interval', '1',
-               '--checkpoint-interval', str(args.epochs),
-               '--checkpoint-history', '1', '--num-workers', '1',
-               '--learning-rate', str(args.lr),
-               '--end-learning-rate', str(args.end_lr), '--yes']
-        if stage == min(args.stages):
-            cmd += ['--init-weights', os.path.join(args.workdir,
-                                                   'init.weights')]
-        t0 = time.time()
-        proc = subprocess.run(cmd, cwd=args.workdir, env=env,
-                              stdout=subprocess.PIPE,
-                              stderr=subprocess.STDOUT, text=True)
-        if proc.returncode != 0:
-            raise RuntimeError("tpu-side stage {} failed:\n{}".format(
-                stage, proc.stdout[-4000:]))
-        log = open(os.path.join(args.workdir, 'logs',
+        if str(stage) in results and len(results[str(stage)]) == args.epochs:
+            print("tpu stage {} already recorded; skipping".format(stage),
+                  flush=True)
+            continue
+        log_path = os.path.join(args.workdir, 'logs',
                                 'stage{}'.format(stage), 'train',
-                                'stdout.txt')).read()
-        val_rows = _VAL_ROW.findall(log)
-        train_ces = _TRAIN_ROW.findall(log)
-        assert len(val_rows) == args.epochs, \
-            "expected {} val rows, parsed {}".format(args.epochs,
-                                                     len(val_rows))
+                                'stdout.txt')
+        final_w = os.path.join(args.workdir, 'weights',
+                               'stage{}'.format(stage), 'final.weights')
+        recovered = False
+        if os.path.isfile(log_path) and os.path.isfile(final_w):
+            # A previous invocation trained this stage but died before
+            # recording; recover the trajectory from its log.
+            val_rows, train_ces = _parse_stage_log(log_path)
+            if len(val_rows) >= args.epochs:
+                val_rows = val_rows[-args.epochs:]
+                train_ces = train_ces[-args.epochs:]
+                recovered = True
+                print("tpu stage {} recovered from existing log".format(
+                    stage), flush=True)
+        if not recovered:
+            cmd = [sys.executable, '-c', _CLI_CHILD, 'train',
+                   '--device', 'cpu', '--dataset', 'cityscapes',
+                   '--stage', str(stage), '--epochs', str(args.epochs),
+                   '--batch-size', str(args.batch), '--val-interval', '1',
+                   '--checkpoint-interval', str(args.epochs),
+                   '--checkpoint-history', '1', '--num-workers', '1',
+                   '--learning-rate', str(args.lr),
+                   '--end-learning-rate', str(args.end_lr), '--yes']
+            if stage == min(args.stages):
+                cmd += ['--init-weights', os.path.join(args.workdir,
+                                                       'init.weights')]
+            t0 = time.time()
+            proc = subprocess.run(cmd, cwd=args.workdir, env=env,
+                                  stdout=subprocess.PIPE,
+                                  stderr=subprocess.STDOUT, text=True)
+            if proc.returncode != 0:
+                raise RuntimeError("tpu-side stage {} failed:\n{}".format(
+                    stage, proc.stdout[-4000:]))
+            val_rows, train_ces = _parse_stage_log(log_path)
+            assert len(val_rows) == args.epochs, \
+                "expected {} val rows, parsed {}".format(args.epochs,
+                                                         len(val_rows))
+            print("tpu stage {} done in {:.0f}s".format(
+                stage, time.time() - t0), flush=True)
         stage_rows = []
         for epoch, (ce, acc, miou) in enumerate(val_rows, start=1):
             row = {"epoch": epoch, "val_ce": float(ce),
@@ -570,11 +615,9 @@ def run_tpu(args):
             stage_rows.append(row)
             print("tpu stage {} epoch {}: mIoU {} acc {} ce {}".format(
                 stage, epoch, miou, acc, ce), flush=True)
-        print("tpu stage {} done in {:.0f}s".format(stage, time.time() - t0),
-              flush=True)
         results[str(stage)] = stage_rows
-    with open(os.path.join(args.workdir, 'tpu_results.json'), 'w') as f:
-        json.dump(results, f, indent=1)
+        with open(results_path, 'w') as f:
+            json.dump(results, f, indent=1)
 
 
 # ---------------------------------------------------------------------------
