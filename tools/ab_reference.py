@@ -60,6 +60,13 @@ def _env(args):
     env['PYTHONPATH'] = os.pathsep.join([REPO] + extra)
     env['DSRL_TPU_MODEL_INPUT_SIZE'] = '{}x{}'.format(*args.input_hw)
     env['DSRL_TPU_BACKBONE_LAYERS'] = ','.join(str(x) for x in args.layers)
+    # Single-device CPU on the CLI side regardless of the caller's env: a
+    # forced N-device mesh (the test conftest exports 8) multiplies the
+    # global batch past the tiny tree and the train loader drops every
+    # batch (observed: nan train CE, untrained model).
+    flags = [f for f in env.get('XLA_FLAGS', '').split()
+             if 'xla_force_host_platform_device_count' not in f]
+    env['XLA_FLAGS'] = ' '.join(flags)
     return env
 
 
