@@ -707,12 +707,16 @@ def _latest_prior_bench(repo_dir):
     return best_round if best else None, best
 
 
+# Device-compute keys only: the loader-included rates are H2D-tunnel-bound
+# in this environment and swing 2-3x between back-to-back runs of identical
+# code (measured r5: warm 8.5 vs 21.0 img/s 30 min apart, tracking
+# loader_h2d_ms_per_batch 902 vs 661 ms), so they carry no regression
+# signal here.  The compute keys repeat within ~1%.
 _REGRESSION_KEYS = (
     "value", "mfu",
     "stage1_eval_images_per_sec_per_chip",
     "stage2_train_images_per_sec_per_chip",
     "stage1_train_images_per_sec_per_chip",
-    "loader_warm_images_per_sec_per_chip",
 )
 
 

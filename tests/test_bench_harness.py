@@ -52,10 +52,12 @@ def test_latest_prior_bench_none(bench, tmp_path):
 
 def test_regression_flags(bench):
     prev = {"value": 300.0, "mfu": 0.44,
-            "stage1_eval_images_per_sec_per_chip": 1000.0}
+            "stage1_eval_images_per_sec_per_chip": 1000.0,
+            "loader_warm_images_per_sec_per_chip": 20.0}
     cur = {"value": 310.0,  # improved: no flag
            "mfu": 0.40,     # -9%: flagged
-           "stage1_eval_images_per_sec_per_chip": 985.0}  # -1.5%: within noise
+           "stage1_eval_images_per_sec_per_chip": 985.0,  # -1.5%: within noise
+           "loader_warm_images_per_sec_per_chip": 8.0}  # tunnel-bound: excluded
     flags = bench._regression_flags(cur, prev)
     assert set(flags) == {"mfu"}
     assert flags["mfu"]["prev"] == 0.44
