@@ -611,9 +611,12 @@ def _section_train(stage):
         out = {"value": round(per_chip, 2)}
         out.update(train)
     else:
-        out = {"stage{}_train_images_per_sec_per_chip".format(stage): round(per_chip, 2)}
-        if "mfu" in train:
-            out["stage{}_mfu".format(stage)] = train["mfu"]
+        # Stage-prefix EVERY key (incl. the TFLOP/s evidence behind the mfu
+        # number) so an extras run never collides with the stage-3 headline
+        # keys; a stage-1/2 HEADLINE run has them lifted by the orchestrator.
+        prefix = "stage{}_".format(stage)
+        out = {prefix + "train_images_per_sec_per_chip": round(per_chip, 2)}
+        out.update({prefix + k: v for k, v in train.items()})
     return out
 
 
@@ -831,15 +834,18 @@ def main():
                 failure = "spawn error: {}".format(exc)
         if fragment is not None:
             if name == headline and args.stage != 3:
-                # Early-stage headline runs report stageN keys; lift them
-                # into the headline value slot.
-                v = fragment.pop(
-                    "stage{}_train_images_per_sec_per_chip".format(args.stage), None)
+                # Early-stage headline runs report stage-prefixed keys;
+                # lift them into the unprefixed headline slots.
+                prefix = "stage{}_".format(args.stage)
+                v = fragment.pop(prefix + "train_images_per_sec_per_chip",
+                                 None)
                 if v is not None:
                     fragment["value"] = v
-                mfu = fragment.pop("stage{}_mfu".format(args.stage), None)
-                if mfu is not None:
-                    fragment["mfu"] = mfu
+                for suffix in ("mfu", "achieved_tflops_per_sec_per_chip",
+                               "tflops_per_image", "n_chips", "peak_tflops"):
+                    val = fragment.pop(prefix + suffix, None)
+                    if val is not None:
+                        fragment[suffix] = val
             record.update(fragment)
             if record.get("value") is not None:
                 record["vs_baseline"] = round(record["value"] / REF_IMAGES_PER_SEC, 2)

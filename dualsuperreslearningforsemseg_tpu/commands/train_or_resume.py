@@ -247,8 +247,12 @@ def train_or_resume(is_resuming_training, device, distributed, mixed_precision,
     # (~2 ms raw read) rate applies from the FIRST epoch.  Disable with
     # DSRL_TPU_PRIME_RAW_CACHE=0.  (data/pipeline.py::prime_raw_cache)
     if os.environ.get('DSRL_TPU_PRIME_RAW_CACHE', '1') != '0':
+        # Prime the epoch the run will actually read first: the epoch loop
+        # starts at starting_epoch + 1, and per-rank shards are epoch-keyed
+        # (ShardedSampler re-permutes globally per epoch before striding).
         for _ldr, _split in ((train_loader, 'train'), (val_loader, 'val')):
-            if _ldr.prime_raw_cache() is not None and master:
+            if _ldr.prime_raw_cache(epoch=starting_epoch + 1) is not None \
+                    and master:
                 print(INFO("Priming raw pair cache for the '{:s}' split in the "
                            "background.".format(_split)))
 

@@ -214,11 +214,13 @@ class Loader:
     def set_epoch(self, epoch: int):
         self.epoch = epoch
 
-    def prime_raw_cache(self, background=True, batch=8):
-        """Decode every still-uncached pair of THIS rank's shard into the
-        raw cache, in epoch-0 sampling order (the order the first epoch will
-        read), so warm-epoch economics apply from the first epoch instead of
-        the second.
+    def prime_raw_cache(self, background=True, batch=8, epoch=0):
+        """Decode every still-uncached pair of THIS rank's ``epoch`` shard
+        into the raw cache, in that epoch's sampling order (pass the first
+        epoch the run will actually read — the training engine's first
+        epoch is ``starting_epoch + 1``, and with ``world_size > 1`` each
+        epoch's per-rank SHARD differs, not just its order), so warm-epoch
+        economics apply from the first epoch instead of the second.
 
         The win comes from WHEN it runs: started right after loader
         construction, it decodes through the minutes of host-idle model
@@ -241,20 +243,22 @@ class Loader:
             import time
             t0 = time.perf_counter()
             primed = 0
-            # Ordered dedup of this rank's epoch-0 shard (pad entries map
-            # back to their real index).
+            # Ordered dedup of this rank's shard for the given epoch (pad
+            # entries map back to their real index).  Presence probes use
+            # has() — one stat each; load() would read the whole ~8 MB pair
+            # per probe, i.e. the entire cache on every warm start.
             real = dict.fromkeys(
                 int(i) if i >= 0 else int(-(i + 1))
-                for i in self.sampler.indices_for_epoch(0))
+                for i in self.sampler.indices_for_epoch(epoch))
             miss = [i for i in real
-                    if self.raw_cache.load(*self.dataset.pairs[i]) is None]
+                    if not self.raw_cache.has(*self.dataset.pairs[i])]
             for start in range(0, len(miss), batch):
                 chunk = miss[start:start + batch]
-                # The epoch-1 loader may have decoded these since the scan;
-                # re-check so primer and loader never both decode a pair
-                # that is already served.
+                # The first epoch's loader may have decoded these since the
+                # scan; re-check so primer and loader never both decode a
+                # pair that is already served.
                 chunk = [i for i in chunk
-                         if self.raw_cache.load(*self.dataset.pairs[i]) is None]
+                         if not self.raw_cache.has(*self.dataset.pairs[i])]
                 if not chunk:
                     continue
                 imgs, segs = self._decode_indices(chunk)

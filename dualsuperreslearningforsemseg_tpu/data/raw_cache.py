@@ -13,7 +13,10 @@ Cityscapes) for the decode CPU that would otherwise starve the device.
 
 Entries are one file per (image, labelIds) pair, keyed by both source
 paths plus their stat identity (size + mtime_ns) and the decode geometry —
-touching a source file invalidates its entry.  Writes go through a
+touching a source file invalidates its entry.  Key-scheme changes (r5
+switched to absolute paths) orphan old entries rather than corrupting
+anything; the cache dir is disposable scratch — delete it across upgrades
+to reclaim the space (there is deliberately no GC).  Writes go through a
 same-directory temp file + ``os.replace`` so concurrent decode threads
 (or processes sharing the directory) only ever observe complete entries.
 """
@@ -55,6 +58,16 @@ class RawPairCache:
         key = '{}x{}|{}'.format(self.h, self.w, '|'.join(ident))
         return os.path.join(self.dir,
                             hashlib.md5(key.encode()).hexdigest() + '.raw')
+
+    def has(self, img_path, seg_path):
+        """Existence probe without reading the payload: one stat, checking
+        the entry is complete (magic + full pixel block).  The priming scan
+        uses this — ``load`` would read the whole ~8 MB pair per probe."""
+        try:
+            path = self._entry_path(img_path, seg_path)
+            return os.path.getsize(path) == len(_MAGIC) + self._nbytes
+        except OSError:
+            return False
 
     def load(self, img_path, seg_path):
         try:

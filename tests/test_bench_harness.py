@@ -150,3 +150,27 @@ def test_subprocess_timeout_degrades(bench, monkeypatch, capsys, tmp_path):
     assert final["value"] is None
     assert "timeout" in final["sections_failed"]["stage3_train"]
     assert final["stage1_eval_images_per_sec_per_chip"] == 1000.0
+
+
+def test_early_stage_headline_lifts_prefixed_keys(
+        bench, monkeypatch, capsys, tmp_path):
+    """A --stage 2 headline run reports stage-prefixed keys from the worker;
+    the orchestrator lifts value/mfu AND the TFLOP evidence behind them."""
+    fns = {"stage2_train": lambda: {
+        "stage2_train_images_per_sec_per_chip": 320.0,
+        "stage2_mfu": 0.45,
+        "stage2_achieved_tflops_per_sec_per_chip": 88.0,
+        "stage2_tflops_per_image": 0.27,
+        "stage2_n_chips": 1,
+        "stage2_peak_tflops": 197.0,
+    }}
+    lines = _run_orchestrator(
+        bench, monkeypatch, capsys, tmp_path, fns,
+        argv=("bench.py", "--in-process", "--stage", "2", "--skip-extras"))
+    final = lines[-1]
+    assert final["metric"] == "stage2_train_images_per_sec_per_chip"
+    assert final["value"] == 320.0
+    assert final["mfu"] == 0.45
+    assert final["achieved_tflops_per_sec_per_chip"] == 88.0
+    assert final["n_chips"] == 1 and final["peak_tflops"] == 197.0
+    assert "stage2_mfu" not in final

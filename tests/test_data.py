@@ -342,6 +342,20 @@ def test_loader_prime_raw_cache(tmp_path):
     cached_n = sum(c2.load(ip, sp) is not None for ip, sp in ds.pairs)
     assert cached_n == 3
 
+    # With shuffle, the per-rank SHARD is epoch-keyed (global re-permutation
+    # before striding): priming must target the epoch the run reads first.
+    c3 = RawPairCache(str(tmp_path / 'rawcache3'), (16, 32))
+    l3 = Loader(ds, batch_size=1, shuffle=True, seed=7, drop_last=True,
+                num_workers=1, world_size=2, rank=0, raw_cache=c3)
+    stats = l3.prime_raw_cache(background=False, epoch=1)
+    assert stats['primed'] == 3
+    epoch1_shard = {int(i) for i in l3.sampler.indices_for_epoch(1)}
+    for i, (ip, sp) in enumerate(ds.pairs):
+        assert c3.has(ip, sp) == (i in epoch1_shard)
+    # has() agrees with load() (stat-only probe vs full read).
+    for ip, sp in ds.pairs:
+        assert c3.has(ip, sp) == (c3.load(ip, sp) is not None)
+
 
 def test_device_post_folded_photometrics(rng):
     """make_device_post_fn's folded chain (per-sample blur taps + one affine

@@ -577,14 +577,26 @@ def run_tpu(args):
                                 'stdout.txt')
         final_w = os.path.join(args.workdir, 'weights',
                                'stage{}'.format(stage), 'final.weights')
+        run_settings = {"epochs": args.epochs, "batch": args.batch,
+                        "lr": args.lr, "end_lr": args.end_lr,
+                        "input_hw": list(args.input_hw),
+                        "layers": list(args.layers)}
+        sidecar = os.path.join(args.workdir,
+                               'ab_stage{}_settings.json'.format(stage))
         recovered = False
-        if os.path.isfile(log_path) and os.path.isfile(final_w):
+        if (os.path.isfile(log_path) and os.path.isfile(final_w)
+                and os.path.isfile(sidecar)):
             # A previous invocation trained this stage but died before
-            # recording; recover the trajectory from its log.
+            # recording; recover the trajectory from its log — only when
+            # the sidecar proves it ran with THESE settings and the row
+            # count matches exactly (the engine truncates stdout.txt per
+            # run, so a mismatch means a different --epochs).  Otherwise
+            # retrain rather than splice an unrelated trajectory.
+            with open(sidecar) as f:
+                logged_settings = json.load(f)
             val_rows, train_ces = _parse_stage_log(log_path)
-            if len(val_rows) >= args.epochs:
-                val_rows = val_rows[-args.epochs:]
-                train_ces = train_ces[-args.epochs:]
+            if (logged_settings == run_settings
+                    and len(val_rows) == args.epochs):
                 recovered = True
                 print("tpu stage {} recovered from existing log".format(
                     stage), flush=True)
@@ -611,6 +623,8 @@ def run_tpu(args):
             assert len(val_rows) == args.epochs, \
                 "expected {} val rows, parsed {}".format(args.epochs,
                                                          len(val_rows))
+            with open(sidecar, 'w') as f:
+                json.dump(run_settings, f)
             print("tpu stage {} done in {:.0f}s".format(
                 stage, time.time() - t0), flush=True)
         stage_rows = []
