@@ -83,15 +83,28 @@ def test_two_process_distributed_train(tmp_path):
     make_synthetic_cityscapes_tree(data_root, split='train', num_images=8, size_hw=(64, 128))
     make_synthetic_cityscapes_tree(data_root, split='val', num_images=6, size_hw=(64, 128), seed=3)
 
+    cache_dir = os.path.join(str(tmp_path), 'rawcache_shared')
     procs, outs = _run_two_processes(tmp_path, [
         'train', '--device', 'cpu', '--dataset', 'cityscapes', '--stage', '1',
         '--epochs', '2', '--batch-size', '1', '--val-interval', '1',
         '--checkpoint-interval', '1', '--checkpoint-history', '1',
         '--num-workers', '1', '--yes',
-    ])
+    ], env_overrides={'DSRL_TPU_RAW_CACHE': cache_dir})
     for node_id, (proc, out) in enumerate(zip(procs, outs)):
         assert proc.returncode == 0, \
             "node {} failed:\n{}".format(node_id, out[-4000:])
+
+    # Multi-process raw-cache priming: each rank primes its own epoch-1
+    # shard into the SHARED cache dir (atomic entry writes); the shards
+    # partition the global permutation, and the 2-epoch run touches every
+    # pair — so by run end the cache must cover both splits completely.
+    from dualsuperreslearningforsemseg_tpu.data import RawPairCache, CityscapesDataset
+    cache = RawPairCache(cache_dir, (64, 128))
+    for split, expect in (('train', 8), ('val', 6)):
+        ds = CityscapesDataset(data_root, split=split)
+        assert len(ds) == expect
+        for ip, sp in ds.pairs:
+            assert cache.has(ip, sp), (split, ip)
 
     # Master-only artifacts exist exactly once (written under the shared cwd).
     assert os.path.isfile(os.path.join(str(tmp_path), 'weights', 'stage1', 'final.weights'))
