@@ -55,7 +55,13 @@ def benchmark(weights, dataset, device, num_workers, batch_size, **other_args):
     eval_fn = make_eval_transform_fn(aug_cfg, ds_settings.LABEL_MAPPING_LUT)
     loader = Loader(test_dataset, batch_size=batch_size, shuffle=False,
                     drop_last=False, num_workers=num_workers,
-                    world_size=jax.process_count(), rank=jax.process_index())
+                    world_size=jax.process_count(), rank=jax.process_index(),
+                    raw_cache='env')
+    # Same warm-read economics as training (DSRL_TPU_RAW_CACHE): prime this
+    # rank's shard in the background through the eval-program compile.
+    # shuffle=False -> the epoch-0 shard IS the shard every pass reads.
+    if os.environ.get('DSRL_TPU_PRIME_RAW_CACHE', '1') != '0':
+        loader.prime_raw_cache()
 
     mesh = make_mesh()
     n_shards = data_shards_per_process(mesh)

@@ -331,3 +331,39 @@ def test_train_primes_raw_cache(tmp_path, monkeypatch):
         assert len(ds) > 0
         for ip, sp in ds.pairs:
             assert cache.load(ip, sp) is not None, (split, ip)
+
+
+def test_benchmark_with_raw_cache(workdir, tmp_path, monkeypatch):
+    """benchmark with DSRL_TPU_RAW_CACHE primes and serves the decoded val
+    pairs from the cache, with metrics identical to the uncached run."""
+    from dualsuperreslearningforsemseg_tpu.data import RawPairCache, CityscapesDataset
+
+    weights = os.path.join('weights', 'stage1', 'final.weights')
+    assert os.path.isfile(weights), "train test must run first (module order)"
+    run_cli('benchmark', '--weights', weights, '--dataset', 'cityscapes', 'val',
+            '--device', 'cpu', '--batch-size', '4', '--num-workers', '2')
+    uncached = open(os.path.join('outputs', 'benchmark.txt')).read()
+
+    cache_dir = str(tmp_path / 'bench_rawcache')
+    monkeypatch.setenv('DSRL_TPU_RAW_CACHE', cache_dir)
+    run_cli('benchmark', '--weights', weights, '--dataset', 'cityscapes', 'val',
+            '--device', 'cpu', '--batch-size', '4', '--num-workers', '2')
+    cached = open(os.path.join('outputs', 'benchmark.txt')).read()
+
+    # All val pairs cached (primed and/or stored by the run itself)...
+    cache = RawPairCache(cache_dir, (64, 128))
+    ds = CityscapesDataset(os.path.join('datasets', 'Cityscapes', 'data'),
+                           split='val')
+    assert len(ds) > 0
+    for ip, sp in ds.pairs:
+        assert cache.has(ip, sp), ip
+    # ...and a third run served from the warm cache reports the same metrics.
+    run_cli('benchmark', '--weights', weights, '--dataset', 'cityscapes', 'val',
+            '--device', 'cpu', '--batch-size', '4', '--num-workers', '2')
+    warm = open(os.path.join('outputs', 'benchmark.txt')).read()
+
+    def metric_lines(text):
+        return [l for l in text.splitlines()
+                if 'mIoU %' in l or 'Cross Entropy' in l or 'Accuracy' in l]
+
+    assert metric_lines(uncached) == metric_lines(cached) == metric_lines(warm)
